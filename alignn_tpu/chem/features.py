@@ -1,0 +1,134 @@
+"""Per-element node featurizers.
+
+Equivalent of `jarvis.core.specie.get_node_attributes` as used by the
+reference at `alignn/graphs.py:533` and `alignn/config.py:23`
+(FEATURESET_SIZE = {"basic": 11, "atomic_number": 1, "cfid": 438,
+"cgcnn": 92}).  jarvis-tools is not a dependency here; the tables are
+built from this package's own periodic-table data
+(:mod:`alignn_tpu.chem.periodic_table`).
+
+The "cgcnn" set follows the CGCNN one-hot binning scheme (group, period,
+electronegativity, covalent radius, valence electrons, first ionization
+energy, electron affinity, block, atomic volume) with a total width of 92,
+matching the reference model's `atom_input_features=92`
+(`alignn/models/alignn.py:25`).  Exact numeric parity with jarvis's table
+is not guaranteed (different upstream data source), but the featurization
+semantics — fixed per-element vectors looked up by atomic number — are the
+same, and the width/layout is stable so checkpoints are portable within
+this framework.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from alignn_tpu.chem import periodic_table as pt
+
+FEATURESET_SIZE = {"basic": 11, "atomic_number": 1, "cfid": 438, "cgcnn": 92}
+
+
+def _one_hot(index: int, size: int) -> np.ndarray:
+    v = np.zeros(size, dtype=np.float64)
+    if 0 <= index < size:
+        v[index] = 1.0
+    return v
+
+
+def _bin_one_hot(value: float, lo: float, hi: float, bins: int) -> np.ndarray:
+    """One-hot of which of `bins` equal-width [lo, hi] bins `value` falls in."""
+    if hi <= lo:
+        raise ValueError("bad bin range")
+    idx = int(np.floor((value - lo) / (hi - lo) * bins))
+    idx = min(max(idx, 0), bins - 1)
+    return _one_hot(idx, bins)
+
+
+@functools.lru_cache(maxsize=None)
+def _cgcnn_row(z: int) -> tuple:
+    period, group, block = pt.period_group_block(z)
+    row = pt.BASIC_TABLE[z]
+    x = row[3]           # electronegativity
+    rad = row[4]         # covalent radius, pm
+    ns, npp, nd, nf = int(row[5]), int(row[6]), int(row[7]), int(row[8])
+    valence = ns + npp + nd + nf
+    ion_en = row[9]
+    elec_aff = row[10]
+    # atomic volume proxy from covalent radius (Angstrom^3)
+    vol = 4.0 / 3.0 * np.pi * (rad / 100.0) ** 3
+
+    feats = np.concatenate([
+        _one_hot(group - 1, 18),                      # 18
+        _one_hot(period - 1, 7),                      # 7
+        _bin_one_hot(x, 0.5, 4.0, 10),                # 10
+        _bin_one_hot(rad, 25.0, 250.0, 10),           # 10
+        _one_hot(min(valence, 12) - 1, 12),           # 12
+        _bin_one_hot(ion_en, 3.0, 25.0, 10),          # 10
+        _bin_one_hot(elec_aff, -0.5, 3.7, 10),        # 10
+        _one_hot(block, 4),                           # 4
+        _bin_one_hot(np.log10(max(vol, 1e-3)), -0.5, 2.0, 11),  # 11
+    ])
+    assert feats.shape == (92,)
+    return tuple(feats.tolist())
+
+
+@functools.lru_cache(maxsize=None)
+def _cfid_row(z: int) -> tuple:
+    """438-dim extended descriptor.
+
+    jarvis-tools' CFID chemical descriptors are not reproducible without
+    jarvis data files; this provides a deterministic same-width substitute:
+    higher-resolution binnings of the same element properties plus raw
+    scaled values, padded to 438.
+    """
+    period, group, block = pt.period_group_block(z)
+    row = pt.BASIC_TABLE[z]
+    x, rad, ion_en, elec_aff = row[3], row[4], row[9], row[10]
+    ns, npp, nd, nf = row[5], row[6], row[7], row[8]
+    parts = [
+        _one_hot(z - 1, 103),
+        _one_hot(group - 1, 18),
+        _one_hot(period - 1, 7),
+        _one_hot(block, 4),
+        _bin_one_hot(x, 0.5, 4.0, 64),
+        _bin_one_hot(rad, 25.0, 260.0, 64),
+        _bin_one_hot(ion_en, 3.0, 25.0, 64),
+        _bin_one_hot(elec_aff, -0.5, 3.7, 64),
+        np.array([z / 100.0, x / 4.0, rad / 250.0, ion_en / 25.0,
+                  elec_aff / 4.0, ns / 2.0, npp / 6.0, nd / 10.0, nf / 14.0,
+                  group / 18.0]),
+    ]
+    feats = np.concatenate(parts)
+    feats = np.pad(feats, (0, 438 - feats.shape[0]))
+    assert feats.shape == (438,)
+    return tuple(feats.tolist())
+
+
+def get_node_attributes(symbol: str, atom_features: str = "cgcnn") -> list:
+    """Per-element feature vector, mirroring jarvis get_node_attributes."""
+    z = pt.atomic_number(symbol)
+    if atom_features == "atomic_number":
+        return [float(z)]
+    if atom_features == "basic":
+        return list(pt.BASIC_TABLE[z])
+    if atom_features == "cgcnn":
+        return list(_cgcnn_row(z))
+    if atom_features == "cfid":
+        return list(_cfid_row(z))
+    raise ValueError(f"unknown atom_features: {atom_features}")
+
+
+@functools.lru_cache(maxsize=None)
+def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
+    """[MAX_Z+1, F] lookup table indexed by atomic number.
+
+    Equivalent of the reference's `_get_attribute_lookup`
+    (`alignn/graphs.py:1003-1020`) — used so batched featurization is a
+    single gather on device.
+    """
+    size = FEATURESET_SIZE[atom_features]
+    table = np.zeros((pt.MAX_Z + 1, size), dtype=np.float32)
+    for z in range(1, pt.MAX_Z + 1):
+        table[z] = get_node_attributes(pt.SYMBOLS[z], atom_features)
+    return table

@@ -1,0 +1,244 @@
+"""Padded, statically-shaped batched graph container.
+
+TPU-native replacement for DGL's C++ batched graph object
+(`dgl.batch`/`dgl.unbatch`, used by the reference at
+`alignn/lmdb_dataset.py:88-108` and `alignn/train.py:264`):
+
+- A batch of crystal graphs is a single pytree of flat arrays with
+  *padded static shapes*: nodes [N], edges [E], line-graph edges [L],
+  graphs [G].  XLA compiles the training step once per shape signature,
+  so pad sizes are bucketed (see :class:`BucketSpec`).
+- Every axis reserves at least one trailing *trash slot*.  Padded edges
+  point src/dst at the trash node, padded nodes belong to the trash graph
+  slot, padded L-edges point at the trash edge.  Garbage therefore flows
+  only into masked slots and the hot loops need no mask multiplies;
+  masks are applied only at loss/readout boundaries.
+- Padded edge displacement r is set to (1, 0, 0) so norms are never zero
+  and no NaNs enter the autodiff graph (critical for grad-of-grad force
+  training).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from flax import struct
+
+from alignn_tpu.chem.features import FEATURESET_SIZE, attribute_lookup_table
+from alignn_tpu.graph.build import GraphData
+
+
+@struct.dataclass
+class GraphBatch:
+    """A padded batch of crystal graphs + line graphs (pytree of arrays)."""
+
+    # nodes [N]
+    z: np.ndarray               # int32 atomic numbers (0 = pad)
+    atom_features: np.ndarray   # [N, F] float32
+    frac_coords: np.ndarray     # [N, 3] float32
+    node_graph: np.ndarray      # [N] int32 graph slot (pad -> G-1)
+    node_mask: np.ndarray       # [N] float32 {0,1}
+    # edges [E]
+    src: np.ndarray             # [E] int32 (pad -> N-1)
+    dst: np.ndarray             # [E] int32 (pad -> N-1)
+    r: np.ndarray               # [E, 3] float32 displacement src->dst
+    images: np.ndarray          # [E, 3] float32
+    edge_graph: np.ndarray      # [E] int32 (pad -> G-1)
+    edge_mask: np.ndarray       # [E] float32
+    # line-graph edges [L]
+    lg_src: np.ndarray          # [L] int32 edge ids (pad -> E-1)
+    lg_dst: np.ndarray          # [L] int32 edge ids (pad -> E-1)
+    lg_mask: np.ndarray         # [L] float32
+    # graphs [G]
+    lattice: np.ndarray         # [G, 3, 3] float32
+    volume: np.ndarray          # [G] float32
+    n_nodes: np.ndarray         # [G] float32 (real atom counts)
+    graph_mask: np.ndarray      # [G] float32
+    # targets (always present; zero-filled when unused)
+    target: np.ndarray          # [G, T] float32 graph-level target
+    forces: np.ndarray          # [N, 3] float32
+    stress: np.ndarray          # [G, 3, 3] float32
+    atomwise_target: np.ndarray  # [N, A] float32
+    additional: np.ndarray      # [G, Fadd] float32
+    extra_features: np.ndarray  # [G, Fx] float32
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return int(self.z.shape[0])
+
+    @property
+    def num_edges_padded(self) -> int:
+        return int(self.src.shape[0])
+
+    @property
+    def num_lg_edges_padded(self) -> int:
+        return int(self.lg_src.shape[0])
+
+    @property
+    def num_graphs_padded(self) -> int:
+        return int(self.graph_mask.shape[0])
+
+
+def _round_up(x: int, quantum: int) -> int:
+    return ((x + quantum - 1) // quantum) * quantum
+
+
+@struct.dataclass
+class BucketSpec:
+    """Static pad sizes (nodes, edges, lg-edges, graphs) for a batch."""
+
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+    n_edges: int = struct.field(pytree_node=False, default=0)
+    n_lg_edges: int = struct.field(pytree_node=False, default=0)
+    n_graphs: int = struct.field(pytree_node=False, default=0)
+
+    @staticmethod
+    def for_graphs(graphs: Sequence[GraphData], batch_size: int,
+                   node_quantum: int = 8, edge_quantum: int = 128,
+                   lg_quantum: int = 512, slack: float = 1.0) -> "BucketSpec":
+        """One static bucket covering every batch of `batch_size` graphs.
+
+        Uses the max per-graph counts over the dataset (x batch_size x
+        slack), rounded up to hardware-friendly quanta; +1 everywhere for
+        the trash slots.  One shape -> one XLA compile for the whole run.
+        """
+        max_n = max(g.num_nodes for g in graphs)
+        max_e = max(g.num_edges for g in graphs)
+        max_l = max(g.num_lg_edges for g in graphs)
+        # sum of per-graph counts in the worst batch is bounded by the
+        # batch-size largest graphs; the max-graph bound is cheap and safe.
+        return BucketSpec(
+            n_nodes=_round_up(int(max_n * batch_size * slack) + 1, node_quantum),
+            n_edges=_round_up(int(max_e * batch_size * slack) + 1, edge_quantum),
+            n_lg_edges=_round_up(int(max_l * batch_size * slack) + 1, lg_quantum),
+            n_graphs=batch_size + 1,
+        )
+
+    @staticmethod
+    def tight_for_batch(graphs: Sequence[GraphData],
+                        node_quantum: int = 8, edge_quantum: int = 128,
+                        lg_quantum: int = 512) -> "BucketSpec":
+        """Bucket sized for exactly this batch (bounded recompiles)."""
+        return BucketSpec(
+            n_nodes=_round_up(sum(g.num_nodes for g in graphs) + 1,
+                              node_quantum),
+            n_edges=_round_up(sum(g.num_edges for g in graphs) + 1,
+                              edge_quantum),
+            n_lg_edges=_round_up(sum(g.num_lg_edges for g in graphs) + 1,
+                                 lg_quantum),
+            n_graphs=len(graphs) + 1,
+        )
+
+
+def batch_graphs(graphs: List[GraphData], spec: BucketSpec,
+                 atom_features: str = "cgcnn",
+                 target_width: int = 1,
+                 atomwise_width: int = 0,
+                 additional_width: int = 0,
+                 extra_width: int = 0,
+                 dtype=np.float32) -> GraphBatch:
+    """Concatenate + pad graphs into one :class:`GraphBatch`.
+
+    The per-graph node/edge offsets play the role of dgl.batch's index
+    relabeling (reference lmdb_dataset.py:88-108).
+    """
+    n_pad, e_pad = spec.n_nodes, spec.n_edges
+    l_pad, g_pad = spec.n_lg_edges, spec.n_graphs
+    n_tot = sum(g.num_nodes for g in graphs)
+    e_tot = sum(g.num_edges for g in graphs)
+    l_tot = sum(g.num_lg_edges for g in graphs)
+    if n_tot >= n_pad or e_tot >= e_pad or l_tot >= l_pad or \
+            len(graphs) >= g_pad:
+        raise ValueError(
+            f"batch ({n_tot}n/{e_tot}e/{l_tot}l/{len(graphs)}g) overflows "
+            f"bucket ({n_pad}/{e_pad}/{l_pad}/{g_pad})")
+
+    feat_table = attribute_lookup_table(atom_features)
+    fdim = FEATURESET_SIZE[atom_features]
+
+    z = np.zeros(n_pad, dtype=np.int32)
+    feats = np.zeros((n_pad, fdim), dtype=dtype)
+    frac = np.zeros((n_pad, 3), dtype=dtype)
+    node_graph = np.full(n_pad, g_pad - 1, dtype=np.int32)
+    node_mask = np.zeros(n_pad, dtype=dtype)
+
+    src = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    dst = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    r = np.zeros((e_pad, 3), dtype=dtype)
+    r[:, 0] = 1.0  # pad displacement: unit x, nonzero norm
+    images = np.zeros((e_pad, 3), dtype=dtype)
+    edge_graph = np.full(e_pad, g_pad - 1, dtype=np.int32)
+    edge_mask = np.zeros(e_pad, dtype=dtype)
+
+    lg_src = np.full(l_pad, e_pad - 1, dtype=np.int32)
+    lg_dst = np.full(l_pad, e_pad - 1, dtype=np.int32)
+    lg_mask = np.zeros(l_pad, dtype=dtype)
+
+    lattice = np.zeros((g_pad, 3, 3), dtype=dtype)
+    lattice[:] = np.eye(3, dtype=dtype)
+    volume = np.ones(g_pad, dtype=dtype)
+    n_nodes = np.zeros(g_pad, dtype=dtype)
+    graph_mask = np.zeros(g_pad, dtype=dtype)
+
+    target = np.zeros((g_pad, max(target_width, 1)), dtype=dtype)
+    forces = np.zeros((n_pad, 3), dtype=dtype)
+    stress = np.zeros((g_pad, 3, 3), dtype=dtype)
+    atomwise_t = np.zeros((n_pad, max(atomwise_width, 1)), dtype=dtype)
+    additional = np.zeros((g_pad, max(additional_width, 1)), dtype=dtype)
+    extra = np.zeros((g_pad, max(extra_width, 1)), dtype=dtype)
+
+    n_off = e_off = l_off = 0
+    for gi, g in enumerate(graphs):
+        nn, ne, nl = g.num_nodes, g.num_edges, g.num_lg_edges
+        ns = slice(n_off, n_off + nn)
+        es = slice(e_off, e_off + ne)
+        ls = slice(l_off, l_off + nl)
+        z[ns] = g.z
+        feats[ns] = feat_table[g.z]
+        frac[ns] = g.frac_coords
+        node_graph[ns] = gi
+        node_mask[ns] = 1.0
+        src[es] = g.src + n_off
+        dst[es] = g.dst + n_off
+        r[es] = g.r
+        images[es] = g.images
+        edge_graph[es] = gi
+        edge_mask[es] = 1.0
+        if nl:
+            lg_src[ls] = g.lg_src + e_off
+            lg_dst[ls] = g.lg_dst + e_off
+            lg_mask[ls] = 1.0
+        lattice[gi] = g.lattice
+        volume[gi] = g.volume
+        n_nodes[gi] = nn
+        graph_mask[gi] = 1.0
+        if g.target is not None:
+            target[gi] = np.asarray(g.target, dtype=dtype).reshape(-1)[
+                : target.shape[1]]
+        if g.forces is not None:
+            forces[ns] = g.forces
+        if g.stress is not None:
+            stress[gi] = g.stress
+        if g.atomwise_target is not None:
+            atomwise_t[ns] = np.asarray(
+                g.atomwise_target, dtype=dtype).reshape(nn, -1)
+        if g.additional is not None:
+            additional[gi] = np.asarray(
+                g.additional, dtype=dtype).reshape(-1)[: additional.shape[1]]
+        if g.extra_features is not None:
+            extra[gi] = np.asarray(
+                g.extra_features, dtype=dtype).reshape(-1)[: extra.shape[1]]
+        n_off += nn
+        e_off += ne
+        l_off += nl
+
+    return GraphBatch(
+        z=z, atom_features=feats, frac_coords=frac, node_graph=node_graph,
+        node_mask=node_mask, src=src, dst=dst, r=r, images=images,
+        edge_graph=edge_graph, edge_mask=edge_mask, lg_src=lg_src,
+        lg_dst=lg_dst, lg_mask=lg_mask, lattice=lattice, volume=volume,
+        n_nodes=n_nodes, graph_mask=graph_mask, target=target, forces=forces,
+        stress=stress, atomwise_target=atomwise_t, additional=additional,
+        extra_features=extra,
+    )

@@ -1,0 +1,429 @@
+"""ALIGNN model family: property model + atomwise (FF) model.
+
+TPU-native re-designs of the reference models:
+- :class:`ALIGNN` — property head, BatchNorm flavor
+  (reference `alignn/models/alignn.py:187-349`).
+- :class:`ALIGNNAtomWise` — multi-head FF model, LayerNorm flavor
+  (reference `alignn/models/alignn_atomwise.py:249-660`).
+
+Key architectural differences from the reference (all TPU-first):
+- Graphs arrive as a padded :class:`~alignn_tpu.graph.batch.GraphBatch`;
+  every shape is static, the whole training step jits once.
+- Angle cosines are always recomputed in-graph from the bond vectors `r`
+  (the reference's `lg_on_fly` path, alignn_atomwise.py:424-431), so
+  `jax.grad` w.r.t. r captures the 3-body terms exactly.
+- Forces/stress come from `jax.grad` of the summed energy w.r.t. r inside
+  the jitted step (:func:`atomwise_forward`), replacing
+  torch.autograd.grad with create_graph=True (alignn_atomwise.py:529-539);
+  grad-of-grad for force-loss training is native JAX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from alignn_tpu.graph.batch import GraphBatch
+from alignn_tpu.nn.layers import (
+    ALIGNNConv,
+    Dense,
+    EdgeGatedGraphConv,
+    MLPLayer,
+    RBFExpansion,
+)
+from alignn_tpu.ops.basis import bond_cosines, cutoff_function_based_edges
+from alignn_tpu.ops.segment import graph_readout_mean, segment_sum
+
+EV_A3_TO_GPA = 160.21766208  # 1 eV/Angstrom^3 in GPa
+
+
+@dataclasses.dataclass(frozen=True)
+class ALIGNNConfig:
+    """Hyperparameters for the property model (reference alignn.py:19-45)."""
+
+    name: str = "alignn"
+    alignn_layers: int = 4
+    gcn_layers: int = 4
+    atom_input_features: int = 92
+    edge_input_features: int = 80
+    triplet_input_features: int = 40
+    embedding_features: int = 64
+    hidden_features: int = 256
+    output_features: int = 1
+    link: str = "identity"  # identity | log | logit
+    zero_inflated: bool = False
+    classification: bool = False
+    num_classes: int = 2
+    extra_features: int = 0
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ALIGNNConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclasses.dataclass(frozen=True)
+class ALIGNNAtomWiseConfig:
+    """Hyperparameters for the FF model (reference alignn_atomwise.py:28-77)."""
+
+    name: str = "alignn_atomwise"
+    alignn_layers: int = 4
+    gcn_layers: int = 4
+    atom_input_features: int = 92
+    edge_input_features: int = 80
+    triplet_input_features: int = 40
+    embedding_features: int = 64
+    hidden_features: int = 256
+    output_features: int = 1
+    grad_multiplier: float = -1.0
+    calculate_gradient: bool = True
+    atomwise_output_features: int = 0
+    graphwise_weight: float = 1.0
+    gradwise_weight: float = 1.0
+    stresswise_weight: float = 0.0
+    atomwise_weight: float = 0.0
+    link: str = "identity"
+    zero_inflated: bool = False
+    classification: bool = False
+    force_mult_natoms: bool = False
+    energy_mult_natoms: bool = True
+    include_pos_deriv: bool = False
+    use_cutoff_function: bool = False
+    inner_cutoff: float = 3.0
+    stress_multiplier: float = 1.0
+    add_reverse_forces: bool = True
+    lg_on_fly: bool = True
+    batch_stress: bool = True
+    multiply_cutoff: bool = False
+    use_penalty: bool = True
+    extra_features: int = 0
+    exponent: int = 5
+    penalty_factor: float = 0.1
+    penalty_threshold: float = 1.0
+    additional_output_features: int = 0
+    additional_output_weight: float = 0.0
+
+    def __post_init__(self):
+        # reference alignn_atomwise.py:267-268
+        if self.gradwise_weight == 0:
+            object.__setattr__(self, "calculate_gradient", False)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ALIGNNAtomWiseConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _link_init_bias(link: str) -> Optional[float]:
+    if link == "log":
+        # log-link bias init: average band gap magic number
+        # (reference alignn.py:275-278)
+        return float(np.log(0.7))
+    return None
+
+
+def _apply_link(out, link: str):
+    if link == "log":
+        return jnp.exp(out)
+    if link == "logit":
+        return jax.nn.sigmoid(out)
+    return out
+
+
+class _Embeddings(nn.Module):
+    """Shared atom/bond/angle embedding stack."""
+
+    cfg: Any
+    norm: str
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, bondlength, cosines,
+                 train: bool = True, edge_scale=None):
+        cfg = self.cfg
+        kw = dict(norm=self.norm, axis_name=self.axis_name, dtype=self.dtype)
+        x = MLPLayer(cfg.hidden_features, name="atom_embedding", **kw)(
+            batch.atom_features, mask=batch.node_mask, train=train)
+
+        rb = RBFExpansion(vmin=0.0, vmax=8.0,
+                          bins=cfg.edge_input_features,
+                          name="edge_rbf")(bondlength)
+        y = MLPLayer(cfg.embedding_features, name="edge_embedding_0", **kw)(
+            rb, mask=batch.edge_mask, train=train)
+        y = MLPLayer(cfg.hidden_features, name="edge_embedding_1", **kw)(
+            y, mask=batch.edge_mask, train=train)
+        if edge_scale is not None:
+            y = y * edge_scale[:, None]
+
+        ab = RBFExpansion(vmin=-1.0, vmax=1.0,
+                          bins=cfg.triplet_input_features,
+                          name="angle_rbf")(cosines)
+        z = MLPLayer(cfg.embedding_features, name="angle_embedding_0", **kw)(
+            ab, mask=batch.lg_mask, train=train)
+        z = MLPLayer(cfg.hidden_features, name="angle_embedding_1", **kw)(
+            z, mask=batch.lg_mask, train=train)
+        return x, y, z
+
+
+class _Trunk(nn.Module):
+    """ALIGNN conv stack + GCN stack (shared by both models)."""
+
+    cfg: Any
+    norm: str
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, y, z, train: bool = True):
+        cfg = self.cfg
+        kw = dict(norm=self.norm, axis_name=self.axis_name, dtype=self.dtype)
+        for i in range(cfg.alignn_layers):
+            x, y, z = ALIGNNConv(cfg.hidden_features,
+                                 name=f"alignn_layers_{i}", **kw)(
+                x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
+                node_mask=batch.node_mask, edge_mask=batch.edge_mask,
+                lg_mask=batch.lg_mask, train=train)
+        for i in range(cfg.gcn_layers):
+            x, y = EdgeGatedGraphConv(cfg.hidden_features,
+                                      name=f"gcn_layers_{i}", **kw)(
+                x, y, batch.src, batch.dst, node_mask=batch.node_mask,
+                edge_mask=batch.edge_mask, train=train)
+        return x, y
+
+
+class ALIGNN(nn.Module):
+    """Property model (BatchNorm flavor), reference alignn.py:187-349.
+
+    Returns [G, output_features] (or [G, num_classes] log-probabilities for
+    classification); slot G-1 is the batch trash slot, masked by callers.
+    """
+
+    cfg: ALIGNNConfig
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = True):
+        cfg = self.cfg
+        kw = dict(norm="batchnorm", axis_name=self.axis_name,
+                  dtype=self.dtype)
+        bondlength = jnp.linalg.norm(batch.r, axis=1)
+        cosines = bond_cosines(batch.r, batch.lg_src, batch.lg_dst)
+        x, y, z = _Embeddings(cfg, name="embeddings", **kw)(
+            batch, bondlength, cosines, train=train)
+        x, y = _Trunk(cfg, name="trunk", **kw)(batch, x, y, z, train=train)
+
+        h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
+
+        if cfg.extra_features != 0:
+            # Gong et al. extra-features path (reference alignn.py:250-267,
+            # 328-339).  Extra features are constant per graph, so the
+            # node-level AvgPooling of the reference reduces to the
+            # graph-level value.
+            feats = MLPLayer(cfg.extra_features,
+                             name="extra_feature_embedding", **kw)(
+                batch.extra_features, mask=batch.graph_mask, train=train)
+            h = jnp.concatenate([h, feats], axis=1)
+            h = MLPLayer(h.shape[-1], name="fc1", **kw)(
+                h, mask=batch.graph_mask, train=train)
+            h = MLPLayer(h.shape[-1], name="fc2", **kw)(
+                h, mask=batch.graph_mask, train=train)
+            out = Dense(cfg.output_features, name="fc3")(h)
+        elif cfg.classification:
+            out = Dense(cfg.num_classes, name="fc")(h)
+        else:
+            out = Dense(cfg.output_features, name="fc",
+                        bias_init_value=_link_init_bias(cfg.link))(h)
+
+        out = _apply_link(out, cfg.link)
+        if cfg.classification:
+            out = jax.nn.log_softmax(out, axis=1)
+        return out
+
+
+class ALIGNNAtomWise(nn.Module):
+    """FF model core (LayerNorm flavor), reference alignn_atomwise.py.
+
+    `__call__(batch, r)` takes the bond vectors `r` explicitly so callers
+    can differentiate the energy w.r.t. them (:func:`atomwise_forward`).
+    Returns a dict with `out` [G, T], `en_out` [G] (energy entering the
+    force computation, incl. natoms multiplication and the short-bond
+    penalty), `atomwise_pred` [N, A], `additional` [G, Fadd].
+    """
+
+    cfg: ALIGNNAtomWiseConfig
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, r, train: bool = True):
+        cfg = self.cfg
+        kw = dict(norm="layernorm", axis_name=self.axis_name,
+                  dtype=self.dtype)
+        bondlength = jnp.linalg.norm(r, axis=1)
+        cosines = bond_cosines(r, batch.lg_src, batch.lg_dst)
+
+        edge_scale = None
+        rbf_input = bondlength
+        if cfg.use_cutoff_function:
+            if cfg.multiply_cutoff:
+                # y = edge_embedding(bondlength) * envelope
+                # (reference alignn_atomwise.py:437-444)
+                edge_scale = cutoff_function_based_edges(
+                    bondlength, inner_cutoff=cfg.inner_cutoff,
+                    exponent=cfg.exponent)
+            else:
+                # bondlength replaced by its envelope before embedding
+                # (reference alignn_atomwise.py:446-451)
+                rbf_input = cutoff_function_based_edges(
+                    bondlength, inner_cutoff=cfg.inner_cutoff,
+                    exponent=cfg.exponent)
+
+        x, y, z = _Embeddings(cfg, name="embeddings", **kw)(
+            batch, rbf_input, cosines, train=train, edge_scale=edge_scale)
+        x, y = _Trunk(cfg, name="trunk", **kw)(batch, x, y, z, train=train)
+
+        result: Dict[str, jnp.ndarray] = {}
+        h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
+
+        if cfg.extra_features != 0:
+            feats = MLPLayer(cfg.extra_features,
+                             name="extra_feature_embedding", **kw)(
+                batch.extra_features, mask=batch.graph_mask, train=train)
+            hh = jnp.concatenate([h, feats], axis=1)
+            hh = MLPLayer(hh.shape[-1], name="fc1", **kw)(
+                hh, mask=batch.graph_mask, train=train)
+            hh = MLPLayer(hh.shape[-1], name="fc2", **kw)(
+                hh, mask=batch.graph_mask, train=train)
+            out = Dense(cfg.output_features, name="fc3")(hh)
+        elif cfg.classification:
+            out = Dense(1, name="fc")(h)
+        else:
+            out = Dense(cfg.output_features, name="fc",
+                        bias_init_value=_link_init_bias(cfg.link))(h)
+
+        if cfg.additional_output_features > 0:
+            result["additional"] = Dense(
+                cfg.additional_output_features,
+                name="fc_additional_output")(h)
+        else:
+            result["additional"] = jnp.zeros(
+                (h.shape[0], 1), dtype=out.dtype)
+
+        if cfg.atomwise_output_features > 0:
+            result["atomwise_pred"] = Dense(
+                cfg.atomwise_output_features, name="fc_atomwise")(x)
+        else:
+            result["atomwise_pred"] = jnp.zeros(
+                (x.shape[0], 1), dtype=out.dtype)
+
+        # energy entering the force computation
+        # (reference alignn_atomwise.py:495-510)
+        en_out = out[:, 0] if cfg.output_features == 1 else out.sum(axis=1)
+        if cfg.energy_mult_natoms:
+            en_out = en_out * batch.n_nodes
+        if cfg.use_penalty:
+            penalties = jnp.where(
+                bondlength < cfg.penalty_threshold,
+                cfg.penalty_factor * (cfg.penalty_threshold - bondlength),
+                jnp.zeros_like(bondlength)) * batch.edge_mask
+            # reference adds the batch-total penalty to every graph's
+            # energy (alignn_atomwise.py:509-510) — reproduced exactly
+            en_out = en_out + jnp.sum(penalties)
+
+        out = _apply_link(out, cfg.link)
+        if cfg.classification:
+            out = jax.nn.sigmoid(out)
+        result["out"] = out
+        result["en_out"] = en_out
+        result["bondlength"] = bondlength
+        return result
+
+
+def compute_cartesian_r(batch: GraphBatch, frac_coords=None):
+    """Bond vectors from (possibly perturbed) fractional coords + lattice.
+
+    r_e = cart(dst) + images_e @ lattice(graph) - cart(src); the corrected
+    version of reference `compute_pair_vector_and_distance`
+    (models/utils.py:47-55; the reference adds raw integer images to
+    cartesian coordinates, which is only consistent when images are
+    pre-multiplied — here the image offset is properly lattice-transformed).
+    """
+    frac = batch.frac_coords if frac_coords is None else frac_coords
+    lat_per_node = batch.lattice[batch.node_graph]
+    cart = jnp.einsum("ni,nij->nj", frac, lat_per_node)
+    lat_per_edge = batch.lattice[batch.edge_graph]
+    img_cart = jnp.einsum("ei,eij->ej", batch.images, lat_per_edge)
+    return cart[batch.dst] + img_cart - cart[batch.src]
+
+
+def atomwise_forward(model: ALIGNNAtomWise, variables, batch: GraphBatch,
+                     train: bool = True) -> Dict[str, jnp.ndarray]:
+    """Full FF forward: energy + forces + stress via jax.grad.
+
+    Replaces reference alignn_atomwise.py:512-646:
+      pair_forces = grad_multiplier * dE/dr            (:529-539)
+      forces_i = sum_{e: dst=i} pf_e - sum_{e: src=i} pf_e   (:546-565)
+      stress_g = -stress_mult * 160.2177 * (r_g^T pf_g) / V_g (:614-638)
+    """
+    cfg = model.cfg
+    if not cfg.calculate_gradient:
+        res = model.apply(variables, batch, batch.r, train=train)
+        res["grad"] = jnp.zeros_like(batch.forces)
+        res["stresses"] = jnp.zeros_like(batch.stress)
+        return res
+
+    if cfg.include_pos_deriv:
+        # differentiate w.r.t. atom positions directly
+        # (reference alignn_atomwise.py:513-524)
+        def energy_fn(frac):
+            r = compute_cartesian_r(batch, frac_coords=frac)
+            res = model.apply(variables, batch, r, train=train)
+            total_nodes = jnp.sum(batch.n_nodes)
+            return jnp.sum(res["en_out"] * batch.graph_mask) * total_nodes, res
+
+        (_, res), g_frac = jax.value_and_grad(
+            energy_fn, has_aux=True)(batch.frac_coords)
+        # d/dcart = d/dfrac @ inv(lattice)^T per node
+        inv_lat = jnp.linalg.inv(batch.lattice)[batch.node_graph]
+        g_cart = jnp.einsum("ni,nji->nj", g_frac, inv_lat)
+        res["grad"] = cfg.grad_multiplier * g_cart * batch.node_mask[:, None]
+        res["stresses"] = jnp.zeros_like(batch.stress)
+        return res
+
+    def energy_fn(r):
+        res = model.apply(variables, batch, r, train=train)
+        return jnp.sum(res["en_out"] * batch.graph_mask), res
+
+    (_, res), g_r = jax.value_and_grad(energy_fn, has_aux=True)(batch.r)
+    pair_forces = cfg.grad_multiplier * g_r  # [E, 3]
+    if cfg.force_mult_natoms:
+        # reference multiplies by the batch-total node count
+        # (g.num_nodes() on the batched graph, alignn_atomwise.py:540-541)
+        pair_forces = pair_forces * jnp.sum(batch.n_nodes)
+
+    num_nodes = batch.z.shape[0]
+    forces_ji = segment_sum(pair_forces, batch.dst, num_nodes)
+    if cfg.add_reverse_forces:
+        forces_ij = segment_sum(pair_forces, batch.src, num_nodes)
+        forces = forces_ji - forces_ij
+    else:
+        forces = forces_ji
+    res["grad"] = forces
+
+    if cfg.stresswise_weight != 0:
+        outer = jnp.einsum("ei,ej->eij", batch.r, pair_forces)
+        per_graph = segment_sum(outer, batch.edge_graph,
+                                batch.graph_mask.shape[0])
+        stress = (-cfg.stress_multiplier * EV_A3_TO_GPA
+                  * per_graph / jnp.maximum(batch.volume, 1e-12)[:, None, None])
+        res["stresses"] = stress
+    else:
+        res["stresses"] = jnp.zeros_like(batch.stress)
+    return res

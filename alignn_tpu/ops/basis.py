@@ -1,0 +1,61 @@
+"""Radial basis expansion and smooth cutoff envelopes (pure functions)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rbf_params(vmin: float, vmax: float, bins: int,
+               lengthscale: float | None = None):
+    """(centers, gamma) for the Gaussian RBF expansion.
+
+    Mirrors reference `RBFExpansion` (`alignn/models/utils.py:11-44`)
+    including its quirk: with the default SchNet-style lengthscale,
+    gamma = 1/lengthscale (NOT 1/lengthscale**2).
+    """
+    centers = np.linspace(vmin, vmax, bins)
+    if lengthscale is None:
+        lengthscale = float(np.diff(centers).mean())
+        gamma = 1.0 / lengthscale
+    else:
+        gamma = 1.0 / (lengthscale**2)
+    return centers.astype(np.float32), float(gamma)
+
+
+def rbf_expand(x: jnp.ndarray, centers: jnp.ndarray,
+               gamma: float) -> jnp.ndarray:
+    """exp(-gamma * (x - centers)^2); [E] -> [E, bins]."""
+    return jnp.exp(-gamma * (x[..., None] - centers) ** 2)
+
+
+def cutoff_function_based_edges(r: jnp.ndarray, inner_cutoff: float = 4.0,
+                                exponent: int = 3) -> jnp.ndarray:
+    """Smooth polynomial cutoff envelope.
+
+    Mirrors reference `alignn/models/alignn_atomwise.py:97-124`: inside the
+    cutoff a C^2 polynomial envelope, hard zero outside.
+    """
+    ratio = r / inner_cutoff
+    c1 = -(exponent + 1) * (exponent + 2) / 2
+    c2 = exponent * (exponent + 2)
+    c3 = -exponent * (exponent + 1) / 2
+    envelope = (1 + c1 * ratio**exponent + c2 * ratio ** (exponent + 1)
+                + c3 * ratio ** (exponent + 2))
+    return jnp.where(r <= inner_cutoff, envelope, jnp.zeros_like(r))
+
+
+def bond_cosines(r: jnp.ndarray, lg_src: jnp.ndarray,
+                 lg_dst: jnp.ndarray) -> jnp.ndarray:
+    """Angle cosines for L-edges from bond displacement vectors.
+
+    In-graph (differentiable) version of reference `compute_bond_cosines`
+    (`alignn/graphs.py:847-864`); recomputed inside the jitted energy
+    function so jax.grad captures 3-body terms — the JAX equivalent of the
+    reference's `lg_on_fly` recompute (`alignn_atomwise.py:424-431`).
+    """
+    r1 = -r[lg_src]
+    r2 = r[lg_dst]
+    num = jnp.sum(r1 * r2, axis=1)
+    den = jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1)
+    return jnp.clip(num / den, -1.0, 1.0)
