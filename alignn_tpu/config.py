@@ -1,0 +1,167 @@
+"""Training configuration.
+
+Framework-owned equivalent of the reference's pydantic `TrainingConfig`
+(`alignn/config.py:125-216`) and its base-settings behavior
+(`alignn/utils.py:13-21`): plain dataclasses with strict unknown-key
+rejection, JSON round-trip, and environment-variable overrides under the
+``ALIGNN_TPU_`` prefix (the reference uses ``jv_``).
+
+The model sub-config is a tagged union discriminated by ``name`` like the
+reference (`alignn/config.py:212-216`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Union
+
+from alignn_tpu.nn.models import ALIGNNAtomWiseConfig, ALIGNNConfig
+
+try:  # version stamp parity with reference config.py:14-20
+    import subprocess
+
+    VERSION = (
+        subprocess.check_output(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stderr=subprocess.DEVNULL,
+        )
+        .decode()
+        .strip()
+    )
+except Exception:  # pragma: no cover
+    VERSION = "unknown"
+
+
+DATASETS = (
+    "dft_3d", "jdft_3d-8-18-2021", "dft_2d", "megnet", "megnet2",
+    "mp_3d_2020", "qm9", "qm9_dgl", "qm9_std_jctc", "user_data",
+    "oqmd_3d_no_cfid", "edos_up", "edos_pdos", "qmof", "qe_tb", "hmof",
+    "hpov", "pdbbind", "pdbbind_core", "tinnet_OH", "tinnet_O", "tinnet_N",
+)
+
+FEATURESET_SIZE = {"basic": 11, "atomic_number": 1, "cfid": 438, "cgcnn": 92}
+
+
+def _strict_from_dict(cls, d: Dict[str, Any]):
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - known - {"version"}
+    if unknown:
+        raise ValueError(
+            f"unknown {cls.__name__} keys: {sorted(unknown)}")
+    return {k: v for k, v in d.items() if k in known}
+
+
+MODEL_CONFIGS = {
+    "alignn": ALIGNNConfig,
+    "alignn_atomwise": ALIGNNAtomWiseConfig,
+}
+
+
+def model_config_from_dict(d: Dict[str, Any]):
+    """Tagged-union dispatch on d['name'] (reference config.py:212-216)."""
+    name = d.get("name", "alignn_atomwise")
+    if name == "ealignn_atomwise":
+        from alignn_tpu.nn.ealignn import eALIGNNAtomWiseConfig
+
+        return eALIGNNAtomWiseConfig.from_dict(d)
+    if name not in MODEL_CONFIGS:
+        raise ValueError(f"unknown model name: {name}")
+    return MODEL_CONFIGS[name].from_dict(d)
+
+
+@dataclass
+class TrainingConfig:
+    """Full training run description (reference config.py:125-216)."""
+
+    version: str = VERSION
+    # dataset configuration
+    dataset: str = "dft_3d"
+    target: str = "formation_energy_peratom"
+    atom_features: str = "cgcnn"
+    neighbor_strategy: str = "k-nearest"
+    id_tag: str = "jid"
+    # training configuration
+    dtype: str = "float32"
+    random_seed: Optional[int] = 123
+    classification_threshold: Optional[float] = None
+    n_val: Optional[int] = None
+    n_test: Optional[int] = None
+    n_train: Optional[int] = None
+    train_ratio: Optional[float] = 0.8
+    val_ratio: Optional[float] = 0.1
+    test_ratio: Optional[float] = 0.1
+    target_multiplication_factor: Optional[float] = None
+    epochs: int = 300
+    batch_size: int = 64
+    weight_decay: float = 0.0
+    learning_rate: float = 1e-2
+    filename: str = "sample"
+    warmup_steps: int = 2000
+    criterion: str = "mse"  # mse | l1 | poisson | zig
+    optimizer: str = "adamw"  # adamw | sgd
+    scheduler: str = "onecycle"  # onecycle | none
+    pin_memory: bool = False
+    save_dataloader: bool = False
+    write_checkpoint: bool = True
+    write_predictions: bool = True
+    store_outputs: bool = True
+    progress: bool = True
+    log_tensorboard: bool = False
+    standard_scalar_and_pca: bool = False
+    use_canonize: bool = True
+    compute_line_graph: bool = True
+    num_workers: int = 4
+    cutoff: float = 8.0
+    cutoff_extra: float = 3.0
+    max_neighbors: int = 12
+    keep_data_order: bool = True
+    normalize_graph_level_loss: bool = False
+    distributed: bool = False
+    data_parallel: bool = False
+    n_early_stopping: Optional[int] = None
+    output_dir: str = field(default_factory=lambda: os.path.abspath("."))
+    use_cache: bool = True  # reference `use_lmdb` (config.py:203)
+    # TPU-native extensions (no reference equivalent)
+    bucket_slack: float = 1.0      # padding head-room over worst-case batch
+    donate_batch: bool = True      # jit buffer donation for the train step
+    mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
+    # model configuration
+    model: Union[ALIGNNConfig, ALIGNNAtomWiseConfig, Any] = field(
+        default_factory=lambda: ALIGNNAtomWiseConfig(name="alignn_atomwise"))
+
+    def __post_init__(self):
+        if isinstance(self.model, dict):
+            self.model = model_config_from_dict(self.model)
+        # env overrides, parity with BaseSettings env_prefix behavior
+        for f in dataclasses.fields(self):
+            env = os.environ.get(f"ALIGNN_TPU_{f.name.upper()}")
+            if env is not None and f.name != "model":
+                try:
+                    setattr(self, f.name, json.loads(env))
+                except json.JSONDecodeError:
+                    setattr(self, f.name, env)
+        if self.atom_features not in FEATURESET_SIZE:
+            raise ValueError(f"unknown atom_features: {self.atom_features}")
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
+        return cls(**_strict_from_dict(cls, d))
+
+    @classmethod
+    def from_json(cls, path: str) -> "TrainingConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["version"] = VERSION
+        return d
+
+    def dump(self, path: str):
+        """Validated-config dump parity (reference train.py:80-83)."""
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)

@@ -1,0 +1,241 @@
+"""Record ingestion and graph dataset construction.
+
+Replaces the reference's dataset assembly across `alignn/train_alignn.py`
+(folder ingestion, :166-307), `alignn/data.py` (NaN filter / threshold /
+multiplication, :244-291) and `alignn/lmdb_dataset.py` (one-time graph
+build + on-disk cache, :155-226).
+
+A *record* is a plain dict in the reference's schema:
+``{"jid": ..., "atoms": {...}, "target": ... [, "atomwise_target",
+"atomwise_grad", "stresses", "additional", "extra_features"]}``.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+import os
+import zipfile
+from concurrent.futures import ProcessPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from alignn_tpu.chem.atoms import Atoms
+from alignn_tpu.graph.build import GraphData, build_graph
+
+
+def voigt_6_to_full_3x3_stress(v) -> np.ndarray:
+    """Voigt 6-vector -> symmetric 3x3 stress (ASE ordering).
+
+    Parity with the conversion used at reference train_alignn.py:294-296.
+    """
+    s_xx, s_yy, s_zz, s_yz, s_xz, s_xy = [float(x) for x in v]
+    return np.array([
+        [s_xx, s_xy, s_xz],
+        [s_xy, s_yy, s_yz],
+        [s_xz, s_yz, s_zz],
+    ])
+
+
+def load_folder_records(
+    root_dir: str,
+    target_key: str = "total_energy",
+    id_key: str = "jid",
+    atomwise_key: str = "forces",
+    gradwise_key: str = "forces",
+    stresswise_key: str = "stresses",
+    additional_output_key: str = "additional_output",
+    file_format: str = "poscar",
+    train_atom: bool = False,
+    train_grad: bool = False,
+    train_stress: bool = False,
+    train_additional_output: bool = False,
+) -> List[Dict[str, Any]]:
+    """Read id_prop.{csv,json,json.zip} from a folder into records.
+
+    Mirrors reference train_alignn.py:166-307 including multi-output csv
+    targets and per-record force/stress/additional wiring.
+    """
+    id_prop_json = os.path.join(root_dir, "id_prop.json")
+    id_prop_json_zip = os.path.join(root_dir, "id_prop.json.zip")
+    id_prop_csv = os.path.join(root_dir, "id_prop.csv")
+    csv_mode = False
+    if os.path.exists(id_prop_json_zip):
+        dat = json.loads(zipfile.ZipFile(id_prop_json_zip).read("id_prop.json"))
+    elif os.path.exists(id_prop_json):
+        with open(id_prop_json) as f:
+            dat = json.load(f)
+    elif os.path.exists(id_prop_csv):
+        csv_mode = True
+        with open(id_prop_csv) as f:
+            dat = [row for row in csv.reader(f) if row]
+    else:
+        raise FileNotFoundError(f"no id_prop.{{csv,json,json.zip}} in {root_dir}")
+
+    records: List[Dict[str, Any]] = []
+    for i in dat:
+        info: Dict[str, Any] = {}
+        if csv_mode:
+            file_name = i[0]
+            tmp = [float(j) for j in i[1:]]
+            info["jid"] = file_name
+            info["target"] = tmp[0] if len(tmp) == 1 else tmp
+            file_path = os.path.join(root_dir, file_name)
+            if file_format == "poscar":
+                atoms = Atoms.from_poscar(file_path)
+            elif file_format == "cif":
+                atoms = Atoms.from_cif(file_path)
+            elif file_format == "xyz":
+                atoms = Atoms.from_xyz(file_path)
+            elif file_format == "pdb":
+                atoms = Atoms.from_pdb(file_path)
+            else:
+                raise NotImplementedError(
+                    f"File format not implemented: {file_format}")
+            info["atoms"] = atoms.to_dict()
+        else:
+            info["target"] = i[target_key]
+            info["atoms"] = i["atoms"]
+            info["jid"] = i[id_key]
+        if train_atom:
+            info["atomwise_target"] = i[atomwise_key]
+        if train_grad:
+            info["atomwise_grad"] = i[gradwise_key]
+        if train_stress:
+            s = i[stresswise_key]
+            info["stresses"] = (voigt_6_to_full_3x3_stress(s)
+                                if np.asarray(s).size == 6
+                                else np.asarray(s, dtype=np.float64))
+        if train_additional_output:
+            info["additional"] = i[additional_output_key]
+        if "extra_features" in i:
+            info["extra_features"] = i["extra_features"]
+        records.append(info)
+    return records
+
+
+def filter_records(
+    records: Sequence[Dict[str, Any]],
+    target: str = "target",
+    classification_threshold: Optional[float] = None,
+    target_multiplication_factor: Optional[float] = None,
+) -> List[Dict[str, Any]]:
+    """NaN/'na' filtering + thresholding (reference data.py:244-268)."""
+    out = []
+    for rec in records:
+        t = rec[target]
+        if isinstance(t, (list, np.ndarray)):
+            out.append(rec)
+            continue
+        if t is None or t == "na" or (isinstance(t, float) and math.isnan(t)):
+            continue
+        t = float(t)
+        if target_multiplication_factor is not None:
+            t = t * target_multiplication_factor
+        if classification_threshold is not None:
+            t = 0 if t <= classification_threshold else 1
+        rec = dict(rec)
+        rec[target] = t
+        out.append(rec)
+    return out
+
+
+def _build_one(args) -> GraphData:
+    rec, kwargs = args
+    atoms = Atoms.from_dict(rec["atoms"])
+    g = build_graph(atoms, **kwargs)
+    t = rec.get("target")
+    if t is not None:
+        g.target = np.atleast_1d(np.asarray(t, dtype=np.float64))
+    if "atomwise_target" in rec:
+        g.atomwise_target = np.asarray(
+            rec["atomwise_target"], dtype=np.float64).reshape(
+            atoms.num_atoms, -1)
+    if "atomwise_grad" in rec:
+        g.forces = np.asarray(
+            rec["atomwise_grad"], dtype=np.float64).reshape(-1, 3)
+    if "stresses" in rec:
+        g.stress = np.asarray(rec["stresses"], dtype=np.float64).reshape(3, 3)
+    if "additional" in rec:
+        g.additional = np.asarray(
+            rec["additional"], dtype=np.float64).reshape(-1)
+    if "extra_features" in rec:
+        g.extra_features = np.asarray(
+            rec["extra_features"], dtype=np.float64).reshape(-1)
+    return g
+
+
+def records_to_graphs(
+    records: Sequence[Dict[str, Any]],
+    neighbor_strategy: str = "k-nearest",
+    cutoff: float = 8.0,
+    max_neighbors: int = 12,
+    use_canonize: bool = True,
+    compute_line_graph: bool = True,
+    cutoff_extra: float = 3.0,
+    num_workers: int = 0,
+    progress: bool = False,
+) -> List[GraphData]:
+    """Build graphs for every record (the one-time host-side hot loop,
+    reference lmdb_dataset.py:155-226)."""
+    kwargs = dict(
+        neighbor_strategy=neighbor_strategy, cutoff=cutoff,
+        max_neighbors=max_neighbors, use_canonize=use_canonize,
+        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra)
+    jobs = [(rec, kwargs) for rec in records]
+    if num_workers and num_workers > 1 and len(jobs) > 8:
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            it = ex.map(_build_one, jobs, chunksize=16)
+            if progress:
+                from tqdm import tqdm
+
+                it = tqdm(it, total=len(jobs), desc="graphs")
+            return list(it)
+    it = map(_build_one, jobs)
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(it, total=len(jobs), desc="graphs")
+    return list(it)
+
+
+@dataclass
+class GraphDataset:
+    """A list of per-structure graphs + ids + target normalization state.
+
+    In-memory equivalent of `StructureDataset` (reference graphs.py:867-997)
+    with the standardizer folded in (reference graphs.py:1040-1054 /
+    data.py:296-320).
+    """
+
+    graphs: List[GraphData]
+    ids: List[str]
+    target_mean: float = 0.0
+    target_std: float = 1.0
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return len(self.graphs)
+
+    def targets(self) -> np.ndarray:
+        return np.stack([np.atleast_1d(g.target) for g in self.graphs])
+
+    def standardize_from(self, other: "GraphDataset" = None):
+        """Fit mean/std on `other` (train split) and scale own targets."""
+        src = other if other is not None else self
+        y = src.targets()
+        mean = float(np.mean(y))
+        std = float(np.std(y))
+        std = std if std > 0 else 1.0
+        for g in self.graphs:
+            g.target = (np.atleast_1d(g.target) - mean) / std
+        self.target_mean, self.target_std = mean, std
+        return self
+
+    def mad(self) -> float:
+        """Mean absolute deviation of targets (reference data.py:326-355)."""
+        y = self.targets()
+        return float(np.mean(np.abs(y - np.mean(y))))

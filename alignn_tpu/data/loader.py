@@ -1,0 +1,257 @@
+"""Bucketed batch loader: graphs -> padded GraphBatch streams.
+
+Replaces the reference's `GraphDataLoader` construction + collate fns
+(`alignn/data.py:455-493`, `alignn/lmdb_dataset.py:76-108`).  TPU-first
+design decisions:
+
+- One static :class:`BucketSpec` per loader, computed from a worst-case
+  packing bound (sum of the `batch_size` largest per-graph counts), so the
+  jitted step compiles exactly once per loader shape.
+- Shuffling is deterministic from an epoch-indexed seed.
+- `num_shards` stacks that many consecutive micro-batches into a leading
+  device axis for `shard_map` data parallelism (replacing the reference's
+  `DistributedSampler`, data.py:357-364).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+import jax
+
+from alignn_tpu.data.dataset import GraphDataset, filter_records, \
+    records_to_graphs
+from alignn_tpu.data.splits import get_id_train_val_test
+from alignn_tpu.graph.batch import BucketSpec, GraphBatch, batch_graphs
+from alignn_tpu.graph.build import GraphData
+
+
+def _round_up(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+def worst_case_spec(graphs: Sequence[GraphData], batch_size: int,
+                    node_quantum: int = 8, edge_quantum: int = 128,
+                    lg_quantum: int = 512,
+                    slack: float = 1.0) -> BucketSpec:
+    """Safe static bucket: no batch of `batch_size` graphs can overflow.
+
+    Bounds each axis by the sum of the `batch_size` largest per-graph
+    counts across the dataset (axes bound independently — conservative
+    but compile-once).
+    """
+    def bound(counts: List[int]) -> int:
+        top = sorted(counts, reverse=True)[:batch_size]
+        return int(sum(top) * slack)
+
+    n = bound([g.num_nodes for g in graphs])
+    e = bound([g.num_edges for g in graphs])
+    lg = bound([g.num_lg_edges for g in graphs])
+    return BucketSpec(
+        n_nodes=_round_up(n + 1, node_quantum),
+        n_edges=_round_up(e + 1, edge_quantum),
+        n_lg_edges=_round_up(lg + 1, lg_quantum),
+        n_graphs=batch_size + 1,
+    )
+
+
+class BucketedLoader:
+    """Iterates padded GraphBatches over a :class:`GraphDataset`."""
+
+    def __init__(self, dataset: GraphDataset, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 spec: Optional[BucketSpec] = None,
+                 atom_features: str = "cgcnn",
+                 target_width: int = 1, atomwise_width: int = 0,
+                 additional_width: int = 0, extra_width: int = 0,
+                 num_shards: int = 1, seed: int = 123,
+                 bucket_slack: float = 1.0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last or (num_shards > 1)
+        self.atom_features = atom_features
+        self.target_width = target_width
+        self.atomwise_width = atomwise_width
+        self.additional_width = additional_width
+        self.extra_width = extra_width
+        self.num_shards = num_shards
+        self.seed = seed
+        self.epoch = 0
+        if spec is None and len(dataset) > 0:
+            spec = worst_case_spec(dataset.graphs, batch_size,
+                                   slack=bucket_slack)
+        self.spec = spec
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        full = self.batch_size * self.num_shards
+        if self.drop_last:
+            return n // full
+        return (n + full - 1) // full
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _make_batch(self, idxs) -> GraphBatch:
+        graphs = [self.dataset.graphs[i] for i in idxs]
+        return batch_graphs(
+            graphs, self.spec, atom_features=self.atom_features,
+            target_width=self.target_width,
+            atomwise_width=self.atomwise_width,
+            additional_width=self.additional_width,
+            extra_width=self.extra_width)
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = self._order()
+        full = self.batch_size * self.num_shards
+        n_steps = len(self)
+        for s in range(n_steps):
+            chunk = order[s * full:(s + 1) * full]
+            if self.num_shards == 1:
+                yield self._make_batch(chunk)
+            else:
+                shards = [
+                    self._make_batch(
+                        chunk[d * self.batch_size:(d + 1) * self.batch_size])
+                    for d in range(self.num_shards)
+                ]
+                yield jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs, axis=0), *shards)
+
+    def batch_ids(self) -> List[List[str]]:
+        """Ids per batch in the *current* epoch order (no shuffle case)."""
+        order = self._order()
+        full = self.batch_size * self.num_shards
+        return [
+            [self.dataset.ids[i] for i in order[s * full:(s + 1) * full]]
+            for s in range(len(self))
+        ]
+
+
+def get_train_val_loaders(
+    records: Sequence[dict],
+    target: str = "target",
+    id_tag: str = "jid",
+    atom_features: str = "cgcnn",
+    neighbor_strategy: str = "k-nearest",
+    cutoff: float = 8.0,
+    cutoff_extra: float = 3.0,
+    max_neighbors: int = 12,
+    use_canonize: bool = True,
+    compute_line_graph: bool = True,
+    batch_size: int = 64,
+    split_seed: int = 123,
+    train_ratio: Optional[float] = 0.8,
+    val_ratio: Optional[float] = 0.1,
+    test_ratio: Optional[float] = 0.1,
+    n_train: Optional[int] = None,
+    n_val: Optional[int] = None,
+    n_test: Optional[int] = None,
+    keep_data_order: bool = True,
+    classification_threshold: Optional[float] = None,
+    target_multiplication_factor: Optional[float] = None,
+    standard_scalar_and_pca: bool = False,
+    output_dir: str = ".",
+    num_workers: int = 0,
+    num_shards: int = 1,
+    target_width: int = 1,
+    atomwise_width: int = 0,
+    additional_width: int = 0,
+    extra_width: int = 0,
+    bucket_slack: float = 1.0,
+    progress: bool = False,
+):
+    """Records -> (train_loader, val_loader, test_loader, mad).
+
+    Mirrors the observable behavior of reference `get_train_val_loaders`
+    (`alignn/data.py:118-493`): filtering, deterministic split +
+    `ids_train_val_test.json` dump, optional standard scaling fit on train,
+    MAD baseline report, train shuffle + drop_last, test batch_size=1.
+    """
+    from alignn_tpu.chem.atoms import dumpjson
+
+    dat = filter_records(
+        records, target=target,
+        classification_threshold=classification_threshold,
+        target_multiplication_factor=target_multiplication_factor)
+    id_train, id_val, id_test = get_id_train_val_test(
+        total_size=len(dat), split_seed=split_seed,
+        train_ratio=train_ratio, val_ratio=val_ratio, test_ratio=test_ratio,
+        n_train=n_train, n_test=n_test, n_val=n_val,
+        keep_data_order=keep_data_order)
+    os.makedirs(output_dir, exist_ok=True)
+    dumpjson(
+        {
+            "id_train": [dat[i][id_tag] for i in id_train],
+            "id_val": [dat[i][id_tag] for i in id_val],
+            "id_test": [dat[i][id_tag] for i in id_test],
+        },
+        os.path.join(output_dir, "ids_train_val_test.json"),
+    )
+
+    graph_kwargs = dict(
+        neighbor_strategy=neighbor_strategy, cutoff=cutoff,
+        max_neighbors=max_neighbors, use_canonize=use_canonize,
+        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra,
+        num_workers=num_workers, progress=progress)
+
+    def make_ds(idxs) -> GraphDataset:
+        recs = [dat[i] for i in idxs]
+        graphs = records_to_graphs(recs, **graph_kwargs)
+        return GraphDataset(graphs=graphs,
+                            ids=[r[id_tag] for r in recs])
+
+    train_ds = make_ds(id_train)
+    val_ds = make_ds(id_val)
+    test_ds = make_ds(id_test)
+
+    mad = train_ds.mad() if len(train_ds) else 0.0
+    with open(os.path.join(output_dir, "mad"), "w") as f:
+        f.write(f"MAX val: {mad}\n")  # reference writes MAD to a file
+        f.write(f"MAD of training set: {mad}\n")
+        f.write(f"Baseline MAE: {mad}\n")
+
+    if standard_scalar_and_pca and len(train_ds):
+        for ds in (val_ds, test_ds, train_ds):
+            ds.target_mean = 0.0
+        mean_std_src = GraphDataset(graphs=list(train_ds.graphs),
+                                    ids=list(train_ds.ids))
+        y = mean_std_src.targets()
+        mean, std = float(np.mean(y)), float(np.std(y)) or 1.0
+        import pickle
+
+        with open(os.path.join(output_dir, "sc.pkl"), "wb") as f:
+            pickle.dump({"mean": mean, "std": std}, f)
+        for ds in (train_ds, val_ds, test_ds):
+            for g in ds.graphs:
+                g.target = (np.atleast_1d(g.target) - mean) / std
+            ds.target_mean, ds.target_std = mean, std
+
+    shared_kwargs = dict(
+        atom_features=atom_features, target_width=target_width,
+        atomwise_width=atomwise_width, additional_width=additional_width,
+        extra_width=extra_width, seed=split_seed,
+        bucket_slack=bucket_slack)
+    train_loader = BucketedLoader(
+        train_ds, batch_size, shuffle=True, drop_last=True,
+        num_shards=num_shards, **shared_kwargs)
+    # val/test share the train bucket when possible so the jitted eval
+    # step reuses the training compile (val drop_last=True parity,
+    # reference data.py:467-477)
+    val_loader = BucketedLoader(
+        val_ds, batch_size, shuffle=False, drop_last=False,
+        spec=None, num_shards=1, **shared_kwargs)
+    test_loader = BucketedLoader(
+        test_ds, 1, shuffle=False, drop_last=False, spec=None,
+        num_shards=1, **shared_kwargs)
+    return train_loader, val_loader, test_loader, mad

@@ -1,0 +1,94 @@
+"""Data-parallel training step via shard_map + gradient pmean.
+
+Replaces PyTorch DDP (reference `train.py:205-207`: allreduce hooks inside
+`loss.backward()`) with an explicit SPMD program: the batch arrives
+stacked `[D, ...]` (one micro-batch per device, built by
+`BucketedLoader(num_shards=D)`), the state is replicated, gradients are
+`pmean`-ed over the mesh's ICI, and every device applies the identical
+update.  BatchNorm statistics reduce across the mesh through the model's
+`axis_name` (strictly better than DDP's per-device stats — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from alignn_tpu.train.losses import atomwise_loss, property_loss
+from alignn_tpu.train.state import TrainState, _forward_and_loss
+
+
+AXIS = "data"
+
+
+def make_dp_train_step(model, mesh: Mesh, criterion: str = "l1",
+                       classification: bool = False,
+                       donate: bool = True) -> Callable:
+    """Jitted (state, stacked_batch) -> (state, metrics) over the mesh."""
+
+    def per_device_step(state: TrainState, batch):
+        # batch leaves arrive [1, ...] on each device; drop the shard axis
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+
+        def loss_fn(params):
+            return _forward_and_loss(
+                model, params, state.batch_stats, batch, criterion,
+                classification, train=True)
+
+        grads, (losses, _res, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, AXIS)
+        losses = jax.lax.pmean(losses, AXIS)
+        if state.batch_stats:
+            new_stats = jax.lax.pmean(new_stats, AXIS)
+        updates, opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state)
+        return new_state, losses
+
+    sharded = shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def train_model_dp(config, train_loader, val_loader, test_loader=None,
+                   n_devices: Optional[int] = None,
+                   restart_params_path: Optional[str] = None):
+    """Data-parallel variant of :func:`alignn_tpu.train.trainer.train_model`.
+
+    Reuses the single-device trainer loop but swaps in the shard_map step;
+    the train loader must be built with `num_shards=n_devices`.
+    """
+    from alignn_tpu.parallel.mesh import make_mesh
+    from alignn_tpu.train import trainer as _trainer
+
+    mesh = make_mesh(n_devices)
+    n = mesh.devices.size
+    if train_loader.num_shards != n:
+        raise ValueError(
+            f"train loader num_shards={train_loader.num_shards} != mesh "
+            f"size {n}; build loaders with num_shards={n}")
+
+    def step_factory(model, criterion, classification, donate):
+        return make_dp_train_step(model, mesh, criterion=criterion,
+                                  classification=classification,
+                                  donate=donate)
+
+    return _trainer.train_model(
+        config, train_loader, val_loader, test_loader,
+        restart_params_path=restart_params_path,
+        train_step_factory=step_factory,
+        model_axis_name=AXIS)

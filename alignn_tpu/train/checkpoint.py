@@ -1,0 +1,231 @@
+"""Checkpoint save/load + reference-torch-checkpoint conversion.
+
+Replaces `torch.save(net.state_dict())` checkpointing
+(`alignn/train.py:551-563,711-715`) with flax msgpack serialization.
+Unlike the reference — which saves only model weights, so resume restarts
+optimization (SURVEY.md §5) — full-state checkpoints here include the
+optimizer state and epoch counter for true resume.
+
+`convert_torch_checkpoint` maps a reference ``best_model.pt`` state_dict
+onto this framework's parameter tree for pretrained-model parity
+(figshare zoo, reference `alignn/pretrained.py:243-303`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import core, serialization, traverse_util
+
+
+def save_params(path: str, params, batch_stats=None):
+    """Weights-only checkpoint (distribution format)."""
+    payload = {"params": serialization.to_state_dict(params)}
+    if batch_stats:
+        payload["batch_stats"] = serialization.to_state_dict(batch_stats)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_params(path: str) -> Tuple[Dict, Dict]:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload["params"], payload.get("batch_stats", {})
+
+
+def save_train_state(path: str, state, epoch: int,
+                     extra: Optional[Dict[str, Any]] = None):
+    """Full-state checkpoint (params + opt state + counters)."""
+    payload = {
+        "params": serialization.to_state_dict(state.params),
+        "batch_stats": serialization.to_state_dict(state.batch_stats),
+        "opt_state": serialization.to_state_dict(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "extra": extra or {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload, in_place=True))
+
+
+def load_train_state(path: str, state) -> Tuple[Any, int]:
+    """Restore a full-state checkpoint into a template `state`."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(state.params, payload["params"])
+    batch_stats = serialization.from_state_dict(
+        state.batch_stats, payload["batch_stats"])
+    opt_state = serialization.from_state_dict(
+        state.opt_state, payload["opt_state"])
+    new_state = state.replace(
+        params=params, batch_stats=batch_stats, opt_state=opt_state,
+        step=jnp.asarray(payload["step"], jnp.int32))
+    return new_state, int(payload.get("epoch", 0))
+
+
+# ---------------------------------------------------------------------------
+# torch state_dict conversion (pretrained zoo parity)
+# ---------------------------------------------------------------------------
+
+_NORM_MAP = {"weight": "scale", "bias": "bias",
+             "running_mean": "mean", "running_var": "var"}
+
+
+def _convert_entries(sd: Dict[str, np.ndarray]):
+    """Yield (flax_path_tuple, collection, array) per torch entry.
+
+    Reference module naming (models/alignn.py, models/alignn_atomwise.py):
+      atom_embedding.{layer.weight,...}          MLPLayer
+      edge_embedding.{0: RBF (no params), 1..2: MLPLayer}  via Sequential
+      alignn_layers.N.node_update.src_gate.weight   etc.
+      gcn_layers.N.src_gate.weight
+      readout (no params), fc.weight/bias
+    This framework's tree (nn/models.py):
+      embeddings/{atom_embedding,edge_embedding_0,edge_embedding_1,
+                  angle_embedding_0,angle_embedding_1}/linear|norm
+      trunk/{alignn_layers_N/{node_update,edge_update}/...,
+             gcn_layers_N/...}
+      fc / fc1 / fc2 / fc3 / fc_atomwise / fc_additional_output
+    """
+    for key, w in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(w)
+        # strip DDP prefix
+        if parts[0] == "module":
+            parts = parts[1:]
+        head = parts[0]
+
+        def mlp(dest_prefix, rest):
+            # rest like ['layer','0','weight'] or ['layer','1','weight']
+            # torch MLPLayer = Sequential(Linear, Norm, SiLU)
+            idx = rest[1]
+            p = rest[2]
+            if idx == "0":  # Linear
+                if p == "weight":
+                    return dest_prefix + ("linear", "kernel"), "params", arr.T
+                return dest_prefix + ("linear", "bias"), "params", arr
+            # Norm
+            if p in ("running_mean", "running_var"):
+                return (dest_prefix + ("norm", _NORM_MAP[p]),
+                        "batch_stats", arr)
+            if p == "num_batches_tracked":
+                return None
+            return dest_prefix + ("norm", _NORM_MAP[p]), "params", arr
+
+        def eggc(dest_prefix, rest):
+            # rest like ['src_gate','weight'] or ['norm_nodes','weight']
+            mod, p = rest[0], rest[-1]
+            if mod in ("src_gate", "dst_gate", "edge_gate", "src_update",
+                       "dst_update"):
+                if p == "weight":
+                    return (dest_prefix + (mod, "kernel"), "params", arr.T)
+                return dest_prefix + (mod, "bias"), "params", arr
+            if mod in ("norm_nodes", "norm_edges", "bn_nodes", "bn_edges"):
+                name = {"bn_nodes": "norm_nodes",
+                        "bn_edges": "norm_edges"}.get(mod, mod)
+                if p in ("running_mean", "running_var"):
+                    return (dest_prefix + (name, _NORM_MAP[p]),
+                            "batch_stats", arr)
+                if p == "num_batches_tracked":
+                    return None
+                return dest_prefix + (name, _NORM_MAP[p]), "params", arr
+            return None
+
+        if head == "atom_embedding":
+            yield mlp(("embeddings", "atom_embedding"), parts)
+            continue
+        if head in ("edge_embedding", "angle_embedding"):
+            # Sequential(RBF, MLPLayer, MLPLayer): indices 1, 2
+            seq_idx = parts[1]
+            if seq_idx == "0":
+                continue  # RBF has no params
+            dest = ("embeddings", f"{head}_{int(seq_idx) - 1}")
+            out = mlp(dest, parts[1:])
+            if out:
+                yield out
+            continue
+        if head == "extra_feature_embedding":
+            out = mlp(("extra_feature_embedding",), parts)
+            if out:
+                yield out
+            continue
+        if head == "alignn_layers":
+            n, sub = parts[1], parts[2]
+            dest = ("trunk", f"alignn_layers_{n}", sub)
+            out = eggc(dest, parts[3:])
+            if out:
+                yield out
+            continue
+        if head == "gcn_layers":
+            n = parts[1]
+            dest = ("trunk", f"gcn_layers_{n}")
+            out = eggc(dest, parts[2:])
+            if out:
+                yield out
+            continue
+        if head in ("fc", "fc1", "fc2", "fc3", "fc_atomwise",
+                    "fc_additional_output"):
+            if len(parts) >= 3 and parts[1].isdigit():
+                # fc as Sequential(Linear, ...) in some variants
+                p = parts[2]
+            else:
+                p = parts[1]
+            if p == "weight":
+                yield (head, "kernel"), "params", arr.T
+            elif p == "bias":
+                yield (head, "bias"), "params", arr
+            continue
+        # unknown entries are skipped (e.g. link params absent here)
+
+
+def convert_torch_checkpoint(pt_path: str) -> Tuple[Dict, Dict]:
+    """Load a reference .pt checkpoint -> (params, batch_stats) trees."""
+    import torch
+
+    obj = torch.load(pt_path, map_location="cpu", weights_only=False)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    params_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    for entry in _convert_entries(sd):
+        if entry is None:
+            continue
+        path, coll, arr = entry
+        (params_flat if coll == "params" else stats_flat)[path] = arr
+    params = traverse_util.unflatten_dict(params_flat)
+    stats = traverse_util.unflatten_dict(stats_flat)
+    return core.freeze(params), core.freeze(stats)
+
+
+def merge_converted(template_params, converted_params):
+    """Overlay converted weights onto an initialized parameter tree.
+
+    Any template leaf missing from the conversion is kept (and reported),
+    so partially-matching checkpoints still load.
+    """
+    t = traverse_util.flatten_dict(
+        serialization.to_state_dict(template_params))
+    c = traverse_util.flatten_dict(
+        serialization.to_state_dict(core.unfreeze(converted_params)))
+    missing, mismatched = [], []
+    for k in t:
+        if k in c:
+            if tuple(np.shape(c[k])) == tuple(np.shape(t[k])):
+                t[k] = np.asarray(c[k], dtype=np.asarray(t[k]).dtype)
+            else:
+                mismatched.append("/".join(k))
+        else:
+            missing.append("/".join(k))
+    unused = [k for k in c if k not in t]
+    report = {"missing": missing, "mismatched": mismatched,
+              "unused": ["/".join(k) for k in unused]}
+    merged = serialization.from_state_dict(
+        template_params, traverse_util.unflatten_dict(t))
+    return merged, report

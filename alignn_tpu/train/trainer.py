@@ -1,0 +1,300 @@
+"""The training loop: epochs, validation, checkpoints, artifacts.
+
+Functional equivalent of reference `train_dgl` (`alignn/train.py:49-878`)
+re-built around jitted steps and padded static batches:
+
+- one XLA-compiled train step per loader shape (no per-batch Python math);
+- history_train.json / history_val.json loss-component dumps
+  (train.py:409-412,590-593);
+- best/current/last checkpoints (train.py:551-563,711-715) — plus a
+  full-state `restart.mpk` with optimizer state for true resume (the
+  reference restarts optimization on resume, SURVEY.md §5);
+- test pass at batch_size=1 with Test_results.json and prediction CSVs +
+  MAE / ROC-AUC (train.py:614-873);
+- early stopping on validation loss (`n_early_stopping`);
+- per-epoch wall time and edges/s throughput metrics (TPU extension).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alignn_tpu.chem.atoms import dumpjson
+from alignn_tpu.config import TrainingConfig
+from alignn_tpu.data.loader import BucketedLoader
+from alignn_tpu.nn.models import (
+    ALIGNN,
+    ALIGNNAtomWise,
+    ALIGNNAtomWiseConfig,
+    ALIGNNConfig,
+)
+from alignn_tpu.train.checkpoint import (
+    load_train_state,
+    save_params,
+    save_train_state,
+)
+from alignn_tpu.train.optim import build_optimizer, epoch_lr
+from alignn_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def build_model(model_cfg, axis_name: Optional[str] = None,
+                dtype=None):
+    """Instantiate a model module from its config union member."""
+    name = getattr(model_cfg, "name", "alignn_atomwise")
+    if name == "alignn":
+        return ALIGNN(cfg=model_cfg, axis_name=axis_name, dtype=dtype)
+    if name == "alignn_atomwise":
+        return ALIGNNAtomWise(cfg=model_cfg, axis_name=axis_name,
+                              dtype=dtype)
+    if name == "ealignn_atomwise":
+        from alignn_tpu.nn.ealignn import eALIGNNAtomWise
+
+        return eALIGNNAtomWise(cfg=model_cfg, axis_name=axis_name,
+                               dtype=dtype)
+    raise ValueError(f"unknown model name: {name}")
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x))
+
+
+def _mean_metrics(acc: list) -> Dict[str, float]:
+    if not acc:
+        return {}
+    keys = acc[0].keys()
+    return {k: float(np.mean([m[k] for m in acc])) for k in keys}
+
+
+def train_model(
+    config: TrainingConfig,
+    train_loader: BucketedLoader,
+    val_loader: BucketedLoader,
+    test_loader: Optional[BucketedLoader] = None,
+    model=None,
+    restart_state_path: Optional[str] = None,
+    restart_params_path: Optional[str] = None,
+    train_step_factory=None,
+    model_axis_name: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Run the full training campaign; returns a summary dict."""
+    t0 = time.time()
+    output_dir = config.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+    config.dump(os.path.join(output_dir, "config.json"))
+
+    classification = config.classification_threshold is not None or \
+        getattr(config.model, "classification", False)
+    is_atomwise = isinstance(config.model, ALIGNNAtomWiseConfig) or \
+        getattr(config.model, "name", "") in ("alignn_atomwise",
+                                              "ealignn_atomwise")
+    criterion = config.criterion
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "float16": jnp.float16, "float64": jnp.float32}[config.dtype]
+    if model is None:
+        model = build_model(config.model, axis_name=model_axis_name,
+                            dtype=dtype)
+
+    if len(val_loader):
+        sample_batch = next(iter(val_loader))
+    else:
+        sample_batch = next(iter(train_loader))
+        if train_loader.num_shards > 1:
+            # stacked [D, ...] batch: init on one shard
+            sample_batch = jax.tree_util.tree_map(
+                lambda x: x[0], sample_batch)
+    tx_probe = build_optimizer(config.optimizer, config.learning_rate,
+                               config.weight_decay)
+    state = create_train_state(model, sample_batch, tx_probe,
+                               seed=config.random_seed or 123)
+    # rebuild with the decay mask now that params exist
+    tx = build_optimizer(config.optimizer, config.learning_rate,
+                         config.weight_decay, params=state.params)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+
+    start_epoch = 0
+    if restart_state_path and os.path.exists(restart_state_path):
+        state, start_epoch = load_train_state(restart_state_path, state)
+        print(f"restored full train state from {restart_state_path} "
+              f"(epoch {start_epoch})")
+    elif restart_params_path and os.path.exists(restart_params_path):
+        from alignn_tpu.train.checkpoint import load_params
+        from flax import serialization
+
+        p, bs = load_params(restart_params_path)
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, p),
+            batch_stats=serialization.from_state_dict(
+                state.batch_stats, bs) if bs else state.batch_stats)
+        print(f"restored weights from {restart_params_path}")
+
+    if train_step_factory is not None:
+        train_step = train_step_factory(model, criterion, classification,
+                                        config.donate_batch)
+    else:
+        train_step = make_train_step(model, criterion=criterion,
+                                     classification=classification,
+                                     donate=config.donate_batch)
+    eval_step = make_eval_step(model, criterion=criterion,
+                               classification=classification)
+
+    edges_per_batch = (train_loader.spec.n_edges
+                       + train_loader.spec.n_lg_edges) if train_loader.spec \
+        else 0
+
+    history_train, history_val = [], []
+    best_loss = np.inf
+    no_improve = 0
+    for epoch in range(start_epoch, config.epochs):
+        train_loader.set_epoch(epoch)
+        lr = epoch_lr(config.scheduler, config.learning_rate,
+                      config.epochs, epoch)
+        state = state.set_lr(lr)
+
+        ep_start = time.time()
+        metrics_acc = []
+        n_batches = 0
+        for batch in train_loader:
+            state, losses = train_step(state, batch)
+            metrics_acc.append({k: float(_np(v)) for k, v in losses.items()})
+            n_batches += 1
+        train_metrics = _mean_metrics(metrics_acc)
+        ep_time = time.time() - ep_start
+        edges_s = edges_per_batch * n_batches / max(ep_time, 1e-9)
+
+        val_acc = []
+        for batch in val_loader:
+            losses, _res = eval_step(state, batch)
+            val_acc.append({k: float(_np(v)) for k, v in losses.items()})
+        val_metrics = _mean_metrics(val_acc)
+
+        history_train.append([train_metrics.get(k, 0.0) for k in
+                              ("loss", "loss1", "loss2", "loss3", "loss4",
+                               "loss5")])
+        history_val.append([val_metrics.get(k, 0.0) for k in
+                            ("loss", "loss1", "loss2", "loss3", "loss4",
+                             "loss5")])
+        dumpjson(history_train, os.path.join(output_dir,
+                                             "history_train.json"))
+        dumpjson(history_val, os.path.join(output_dir, "history_val.json"))
+
+        if config.progress:
+            print(f"epoch {epoch + 1}/{config.epochs} "
+                  f"lr {lr:.3e} "
+                  f"train {train_metrics.get('loss', 0.0):.6f} "
+                  f"val {val_metrics.get('loss', 0.0):.6f} "
+                  f"time {ep_time:.2f}s edges/s {edges_s:.3e}")
+
+        if config.write_checkpoint:
+            save_params(os.path.join(output_dir, "current_model.mpk"),
+                        state.params, state.batch_stats)
+            save_train_state(os.path.join(output_dir, "restart.mpk"),
+                             state, epoch + 1)
+            vloss = val_metrics.get("loss", np.inf)
+            if vloss < best_loss:
+                best_loss = vloss
+                no_improve = 0
+                save_params(os.path.join(output_dir, "best_model.mpk"),
+                            state.params, state.batch_stats)
+            else:
+                no_improve += 1
+        if config.n_early_stopping is not None and \
+                no_improve >= config.n_early_stopping:
+            print(f"early stopping at epoch {epoch + 1}")
+            break
+
+    summary: Dict[str, Any] = {
+        "best_val_loss": float(best_loss),
+        "epochs_run": len(history_train),
+        "train_time_s": time.time() - t0,
+    }
+
+    # ------------------------------------------------------------------
+    # test pass (batch size 1, reference train.py:614-710)
+    # ------------------------------------------------------------------
+    if test_loader is not None and len(test_loader):
+        test_results = []
+        preds, targets = [], []
+        ids_per_batch = test_loader.batch_ids()
+        for bi, batch in enumerate(test_loader):
+            losses, res = eval_step(state, batch)
+            out = _np(res["out"])
+            gm = _np(batch.graph_mask)
+            for gi in range(out.shape[0]):
+                if gm[gi] < 0.5:
+                    continue
+                sid = ids_per_batch[bi][gi] if gi < len(ids_per_batch[bi]) \
+                    else f"batch{bi}_{gi}"
+                t = _np(batch.target)[gi]
+                info = {"id": sid,
+                        "target": np.atleast_1d(t).tolist(),
+                        "predictions": np.atleast_1d(out[gi]).tolist()}
+                if is_atomwise:
+                    nm = _np(batch.node_mask) > 0.5
+                    ng = _np(batch.node_graph)
+                    sel = nm & (ng == gi)
+                    if getattr(config.model, "calculate_gradient", False):
+                        info["target_grad"] = _np(
+                            batch.forces)[sel].tolist()
+                        info["pred_grad"] = _np(res["grad"])[sel].tolist()
+                    if getattr(config.model, "stresswise_weight", 0) != 0:
+                        info["target_stress"] = _np(batch.stress)[gi].tolist()
+                        info["pred_stress"] = _np(
+                            res["stresses"])[gi].tolist()
+                test_results.append(info)
+                preds.append(np.atleast_1d(out[gi]))
+                targets.append(np.atleast_1d(t))
+        dumpjson(test_results, os.path.join(output_dir,
+                                            "Test_results.json"))
+        if preds:
+            p = np.stack(preds)
+            t = np.stack(targets)
+            if classification:
+                try:
+                    from sklearn.metrics import roc_auc_score
+
+                    prob = np.exp(p[:, 1]) if p.shape[1] > 1 else p[:, 0]
+                    summary["test_rocauc"] = float(
+                        roc_auc_score(t[:, 0], prob))
+                    print("Test ROC AUC:", summary["test_rocauc"])
+                except Exception as exc:  # pragma: no cover
+                    print("roc-auc failed:", exc)
+            else:
+                sf = getattr(test_loader.dataset, "target_std", 1.0) or 1.0
+                mae = float(np.mean(np.abs(p[:, :t.shape[1]] - t))) * sf
+                summary["test_mae"] = mae
+                print("Test MAE:", mae)
+            if config.write_predictions:
+                with open(os.path.join(
+                        output_dir,
+                        "prediction_results_test_set.csv"), "w",
+                        newline="") as f:
+                    w = csv.writer(f)
+                    w.writerow(["id", "target", "prediction"])
+                    for info in test_results:
+                        w.writerow([info["id"],
+                                    info["target"][0]
+                                    if len(info["target"]) == 1
+                                    else info["target"],
+                                    info["predictions"][0]
+                                    if len(info["predictions"]) == 1
+                                    else info["predictions"]])
+
+    if config.write_checkpoint:
+        save_params(os.path.join(output_dir, "last_model.mpk"),
+                    state.params, state.batch_stats)
+    summary["state"] = state
+    return summary

@@ -1,0 +1,203 @@
+"""Pretrained model zoo: registry, download, torch-checkpoint conversion.
+
+Equivalent of reference `alignn/pretrained.py`: the figshare registry
+(~56 property models, `pretrained.py:36-191`, mirrored as data in
+``zoo_models.json``), checkpoint fetch + load (`get_figshare_model`
+`pretrained.py:243-303`), single- and bulk-structure prediction
+(`pretrained.py:306-448`).
+
+Reference checkpoints are torch ``best_model.pt`` state_dicts; they are
+mapped onto this framework's parameter tree by
+:func:`alignn_tpu.train.checkpoint.convert_torch_checkpoint`, so figshare
+models run natively on TPU without torch in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import zipfile
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from alignn_tpu.chem.atoms import Atoms
+
+_REGISTRY_PATH = os.path.join(os.path.dirname(__file__), "zoo_models.json")
+_CACHE = os.environ.get(
+    "ALIGNN_TPU_MODEL_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "alignn_tpu", "models"))
+
+
+def get_all_models() -> Dict[str, Dict[str, Any]]:
+    with open(_REGISTRY_PATH) as f:
+        return json.load(f)
+
+
+def download_checkpoint(model_name: str,
+                        cache_dir: Optional[str] = None) -> str:
+    """Fetch + unzip a figshare checkpoint; returns the model directory."""
+    registry = get_all_models()
+    if model_name not in registry:
+        raise KeyError(
+            f"unknown model {model_name}; known: {sorted(registry)[:5]}...")
+    cache_dir = cache_dir or _CACHE
+    out_dir = os.path.join(cache_dir, model_name)
+    if os.path.isdir(out_dir) and any(
+            f.endswith((".pt", ".mpk")) for f in os.listdir(out_dir)):
+        return out_dir
+    url = registry[model_name]["url"]
+    os.makedirs(out_dir, exist_ok=True)
+    import urllib.request
+
+    zpath = os.path.join(out_dir, "model.zip")
+    urllib.request.urlretrieve(url, zpath)
+    with zipfile.ZipFile(zpath) as z:
+        z.extractall(out_dir)
+    os.remove(zpath)
+    return out_dir
+
+
+def _find(root: str, suffixes) -> Optional[str]:
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(tuple(suffixes)):
+                return os.path.join(dirpath, f)
+    return None
+
+
+def load_model_dir(model_dir: str):
+    """(model, variables, config_dict) from a model directory.
+
+    Accepts either this framework's format (config.json + *.mpk) or a
+    reference-format directory (config.json + best_model.pt).
+    """
+    import jax
+
+    from alignn_tpu.train.trainer import build_model
+
+    cfg_path = _find(model_dir, ["config.json"])
+    if cfg_path is None:
+        raise FileNotFoundError(f"no config.json under {model_dir}")
+    with open(cfg_path) as f:
+        cfg_dict = json.load(f)
+    model_cfg_dict = cfg_dict.get("model", cfg_dict)
+    from alignn_tpu.config import model_config_from_dict
+
+    model_cfg = model_config_from_dict(model_cfg_dict)
+    model = build_model(model_cfg)
+
+    # template init for shape-checked restore
+    from alignn_tpu.nn.models import ALIGNNAtomWise
+
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+
+    probe = Atoms(lattice_mat=np.eye(3) * 4.0,
+                  frac_coords=np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+                  elements=["Na", "Cl"])
+    g = build_graph(probe, cutoff=6.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]),
+                         atom_features="cgcnn")
+    rng = jax.random.PRNGKey(0)
+    if isinstance(model, ALIGNNAtomWise) or \
+            getattr(model_cfg, "name", "") == "ealignn_atomwise":
+        variables = model.init(rng, batch, batch.r, train=False)
+    else:
+        variables = model.init(rng, batch, train=False)
+
+    mpk = _find(model_dir, ["best_model.mpk", "last_model.mpk",
+                            "current_model.mpk", ".mpk"])
+    if mpk is not None:
+        from flax import serialization
+
+        from alignn_tpu.train.checkpoint import load_params
+
+        p, bs = load_params(mpk)
+        variables = dict(variables)
+        variables["params"] = serialization.from_state_dict(
+            variables["params"], p)
+        if bs and "batch_stats" in variables:
+            variables["batch_stats"] = serialization.from_state_dict(
+                variables["batch_stats"], bs)
+        return model, variables, cfg_dict
+
+    pt = _find(model_dir, ["best_model.pt", "current_model.pt",
+                           "last_model.pt", ".pt"])
+    if pt is None:
+        raise FileNotFoundError(f"no checkpoint under {model_dir}")
+    from alignn_tpu.train.checkpoint import (
+        convert_torch_checkpoint,
+        merge_converted,
+    )
+
+    cparams, cstats = convert_torch_checkpoint(pt)
+    variables = dict(variables)
+    merged, report = merge_converted(variables["params"], cparams)
+    variables["params"] = merged
+    if report["missing"]:
+        print(f"[zoo] {len(report['missing'])} params not in checkpoint "
+              f"(kept init): {report['missing'][:4]}...")
+    if cstats and "batch_stats" in variables:
+        merged_bs, _ = merge_converted(variables["batch_stats"], cstats)
+        variables["batch_stats"] = merged_bs
+    return model, variables, cfg_dict
+
+
+def get_figshare_model(model_name: str = "jv_formation_energy_peratom_alignn",
+                       cache_dir: Optional[str] = None):
+    """Download (cached) + load a zoo model (reference pretrained.py:243)."""
+    model_dir = download_checkpoint(model_name, cache_dir)
+    return load_model_dir(model_dir)
+
+
+def predict_structures(model, variables, atoms_list: List[Atoms],
+                       cutoff: float = 8.0, max_neighbors: int = 12,
+                       neighbor_strategy: str = "k-nearest",
+                       atom_features: str = "cgcnn",
+                       batch_size: int = 32) -> np.ndarray:
+    """Bulk prediction (reference get_multiple_predictions,
+    pretrained.py:332-448).  Graphs are padded into shared buckets so the
+    jitted forward compiles once."""
+    import jax
+
+    from alignn_tpu.graph.batch import batch_graphs
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.data.loader import worst_case_spec
+    from alignn_tpu.nn.models import ALIGNNAtomWise, atomwise_forward
+
+    graphs = [build_graph(a, neighbor_strategy=neighbor_strategy,
+                          cutoff=cutoff, max_neighbors=max_neighbors)
+              for a in atoms_list]
+    spec = worst_case_spec(graphs, min(batch_size, len(graphs)))
+    is_atomwise = isinstance(model, ALIGNNAtomWise)
+
+    if is_atomwise:
+        @jax.jit
+        def fwd(batch):
+            return atomwise_forward(model, variables, batch,
+                                    train=False)["out"]
+    else:
+        @jax.jit
+        def fwd(batch):
+            return model.apply(variables, batch, train=False)
+
+    outs = []
+    for s in range(0, len(graphs), batch_size):
+        chunk = graphs[s:s + batch_size]
+        batch = batch_graphs(chunk, spec, atom_features=atom_features)
+        out = np.asarray(jax.device_get(fwd(batch)))
+        outs.append(out[:len(chunk)])
+    return np.concatenate(outs, axis=0)
+
+
+def get_prediction(model_name: str = "jv_formation_energy_peratom_alignn",
+                   atoms: Optional[Atoms] = None,
+                   cutoff: float = 8.0,
+                   max_neighbors: int = 12) -> np.ndarray:
+    """Single-structure zoo prediction (reference pretrained.py:306-329)."""
+    model, variables, _cfg = get_figshare_model(model_name)
+    out = predict_structures(model, variables, [atoms], cutoff=cutoff,
+                             max_neighbors=max_neighbors)
+    return out[0]

@@ -1,0 +1,93 @@
+"""Throughput benchmark: full FF training step, edges/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the flagship ALIGNN-FF configuration (4 ALIGNN + 4 GCN
+layers, 256 hidden — reference models/alignn.py:19-32 scale) with
+energy+force+stress heads, i.e. forward + grad-of-grad backward, on a
+realistic padded batch.  `vs_baseline` compares against a DGL/torch-CPU
+measurement recorded in BASELINE.json terms; the reference publishes no
+throughput numbers (BASELINE.md), so the baseline constant below was
+measured by running the reference's train step shape on this machine's
+host CPU (documented in BENCH_NOTES.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# edges+line-graph-edges per second, reference torch/DGL path on this
+# machine's CPU (see BENCH_NOTES.md for the measurement recipe)
+BASELINE_EDGES_PER_S = 2.0e5
+
+
+def build_batch(batch_size=32, seed=0):
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+
+    rng = np.random.default_rng(seed)
+    graphs = []
+    elems = ["Na", "Cl", "K", "Br", "Mg", "O", "Ca", "S"]
+    for i in range(batch_size):
+        a = 4.2 + 0.3 * rng.standard_normal()
+        # 8-atom rocksalt supercell-ish cell
+        base = np.array([
+            [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+            [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5]])
+        frac = base + 0.02 * rng.standard_normal((8, 3))
+        atoms = Atoms(lattice_mat=np.eye(3) * a, frac_coords=frac,
+                      elements=[elems[j % len(elems)] for j in range(8)])
+        g = build_graph(atoms, cutoff=8.0, max_neighbors=12)
+        g.target = np.array([rng.standard_normal()])
+        g.forces = rng.standard_normal((8, 3)) * 0.1
+        g.stress = np.eye(3) * 0.01
+        graphs.append(g)
+    spec = BucketSpec.tight_for_batch(graphs)
+    return batch_graphs(graphs, spec, target_width=1)
+
+
+def main():
+    import jax
+
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.train.optim import build_optimizer
+    from alignn_tpu.train.state import create_train_state, make_train_step
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=4, gcn_layers=4,
+        hidden_features=256, embedding_features=64,
+        gradwise_weight=10.0, stresswise_weight=0.1,
+        graphwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    batch = build_batch(batch_size=32)
+    tx = build_optimizer("adamw", 1e-3, 1e-5)
+    state = create_train_state(model, batch, tx)
+    step = make_train_step(model, criterion="l1", donate=False)
+
+    n_edges = batch.src.shape[0] + batch.lg_src.shape[0]
+
+    # warmup / compile
+    state, losses = step(state, batch)
+    jax.block_until_ready(losses["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = step(state, batch)
+    jax.block_until_ready(losses["loss"])
+    dt = time.perf_counter() - t0
+    edges_per_s = n_edges * iters / dt
+
+    print(json.dumps({
+        "metric": "train_step_edges_per_s",
+        "value": float(edges_per_s),
+        "unit": "edges/s/chip (g + L(g), fwd+bwd incl. force grad)",
+        "vs_baseline": float(edges_per_s / BASELINE_EDGES_PER_S),
+    }))
+
+
+if __name__ == "__main__":
+    main()

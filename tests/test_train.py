@@ -1,0 +1,144 @@
+"""Training runtime tests: splits, losses, optimizer, E2E mini-training.
+
+Models the reference's integration-test style (tests/test_prop.py) on the
+bundled 50-POSCAR sample set, but much smaller configs for CI speed.
+"""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+from alignn_tpu.chem.atoms import Atoms
+from alignn_tpu.config import TrainingConfig
+from alignn_tpu.data.splits import get_id_train_val_test
+from alignn_tpu.data.loader import get_train_val_loaders
+from alignn_tpu.nn.models import ALIGNNAtomWiseConfig, ALIGNNConfig
+from alignn_tpu.train.trainer import train_model
+
+SAMPLE_DATA = "/root/reference/alignn/examples/sample_data"
+SAMPLE_DATA_FF = "/root/reference/alignn/examples/sample_data_ff"
+
+
+def _property_records(n=12):
+    with open(os.path.join(SAMPLE_DATA, "id_prop.csv")) as f:
+        rows = [r for r in csv.reader(f)][:n]
+    return [{
+        "jid": r[0],
+        "atoms": Atoms.from_poscar(os.path.join(SAMPLE_DATA, r[0])).to_dict(),
+        "target": float(r[1]),
+    } for r in rows]
+
+
+def test_split_semantics():
+    tr, va, te = get_id_train_val_test(
+        total_size=100, split_seed=123, train_ratio=0.8, val_ratio=0.1,
+        test_ratio=0.1, keep_data_order=False)
+    assert len(tr) == 80 and len(va) == 10 and len(te) == 10
+    assert not (set(tr) & set(va)) and not (set(va) & set(te))
+    # deterministic for a fixed seed
+    tr2, _, _ = get_id_train_val_test(
+        total_size=100, split_seed=123, train_ratio=0.8, val_ratio=0.1,
+        test_ratio=0.1, keep_data_order=False)
+    assert tr == tr2
+    # keep_data_order keeps identity order
+    tr3, _, _ = get_id_train_val_test(
+        total_size=10, n_train=6, n_val=2, n_test=2, keep_data_order=True)
+    assert tr3 == list(range(6))
+
+
+def test_onecycle_schedule():
+    from alignn_tpu.train.optim import onecycle_lr
+
+    sched = onecycle_lr(1e-2, 100)
+    lrs = [float(sched(i)) for i in range(100)]
+    assert lrs[0] == pytest.approx(1e-2 / 25, rel=1e-3)
+    assert max(lrs) == pytest.approx(1e-2, rel=1e-2)
+    assert lrs[-1] < 1e-5  # annealed to ~max_lr/25/1e4
+
+
+def test_masked_losses():
+    import jax.numpy as jnp
+
+    from alignn_tpu.train.losses import l1_loss, masked_mean
+
+    pred = jnp.array([[1.0], [2.0], [100.0]])
+    target = jnp.array([[0.0], [0.0], [0.0]])
+    mask = jnp.array([1.0, 1.0, 0.0])
+    # the masked row must not contribute
+    assert float(l1_loss(pred, target, mask)) == pytest.approx(1.5)
+    assert float(masked_mean(jnp.abs(pred - target), mask)) == \
+        pytest.approx(1.5)
+
+
+def test_train_property_e2e(tmp_path):
+    records = _property_records(12)
+    out = str(tmp_path / "prop")
+    cfg = TrainingConfig(
+        epochs=2, batch_size=4, n_train=8, n_val=2, n_test=2,
+        output_dir=out, learning_rate=1e-3, keep_data_order=True,
+        model=ALIGNNConfig(name="alignn", alignn_layers=1, gcn_layers=1,
+                           hidden_features=32, embedding_features=16))
+    tr, va, te, mad = get_train_val_loaders(
+        records, batch_size=4, n_train=8, n_val=2, n_test=2,
+        keep_data_order=True, output_dir=out)
+    summary = train_model(cfg, tr, va, te)
+    assert np.isfinite(summary["best_val_loss"])
+    for fname in ("config.json", "history_train.json", "history_val.json",
+                  "ids_train_val_test.json", "Test_results.json",
+                  "best_model.mpk", "current_model.mpk", "last_model.mpk",
+                  "restart.mpk", "prediction_results_test_set.csv"):
+        assert os.path.exists(os.path.join(out, fname)), fname
+    hist = json.load(open(os.path.join(out, "history_train.json")))
+    assert len(hist) == 2
+    results = json.load(open(os.path.join(out, "Test_results.json")))
+    assert len(results) == 2
+    assert {"id", "target", "predictions"} <= set(results[0])
+
+
+def test_train_ff_e2e(tmp_path):
+    from alignn_tpu.data.dataset import load_folder_records
+
+    records = load_folder_records(
+        SAMPLE_DATA_FF, target_key="total_energy", train_grad=True,
+        train_stress=True)[:8]
+    out = str(tmp_path / "ff")
+    mcfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=32, embedding_features=16, gradwise_weight=10.0,
+        stresswise_weight=0.01, graphwise_weight=1.0)
+    cfg = TrainingConfig(
+        epochs=2, batch_size=2, n_train=4, n_val=2, n_test=2,
+        output_dir=out, learning_rate=1e-3, keep_data_order=True,
+        neighbor_strategy="radius_graph", cutoff=4.0, model=mcfg)
+    tr, va, te, _ = get_train_val_loaders(
+        records, batch_size=2, n_train=4, n_val=2, n_test=2,
+        keep_data_order=True, output_dir=out,
+        neighbor_strategy="radius_graph", cutoff=4.0)
+    summary = train_model(cfg, tr, va, te)
+    assert np.isfinite(summary["best_val_loss"])
+    results = json.load(open(os.path.join(out, "Test_results.json")))
+    assert "pred_grad" in results[0] and "pred_stress" in results[0]
+
+
+def test_restart_resume(tmp_path):
+    records = _property_records(8)
+    out = str(tmp_path / "resume")
+    cfg = TrainingConfig(
+        epochs=2, batch_size=4, n_train=4, n_val=2, n_test=2,
+        output_dir=out, learning_rate=1e-3, keep_data_order=True,
+        model=ALIGNNConfig(name="alignn", alignn_layers=1, gcn_layers=1,
+                           hidden_features=32, embedding_features=16))
+    tr, va, te, _ = get_train_val_loaders(
+        records, batch_size=4, n_train=4, n_val=2, n_test=2,
+        keep_data_order=True, output_dir=out)
+    train_model(cfg, tr, va, te)
+    # resume from full-state checkpoint: continues at saved epoch
+    cfg2 = TrainingConfig(**{**cfg.to_dict(),
+                             "model": cfg.model, "epochs": 3})
+    summary = train_model(
+        cfg2, tr, va, te,
+        restart_state_path=os.path.join(out, "restart.mpk"))
+    assert summary["epochs_run"] == 1  # epochs 2..3 -> one more epoch
