@@ -115,6 +115,8 @@ def train_for_folder(
         extra_width=extra_width,
         bucket_slack=config.bucket_slack,
         progress=config.progress,
+        cache_dir=(os.path.join(config.output_dir, "graph_cache")
+                   if config.use_cache else None),
     )
     if devices > 1:
         from alignn_tpu.parallel.dp import train_model_dp

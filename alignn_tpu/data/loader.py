@@ -170,6 +170,7 @@ def get_train_val_loaders(
     extra_width: int = 0,
     bucket_slack: float = 1.0,
     progress: bool = False,
+    cache_dir: Optional[str] = None,
 ):
     """Records -> (train_loader, val_loader, test_loader, mad).
 
@@ -205,15 +206,31 @@ def get_train_val_loaders(
         compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra,
         num_workers=num_workers, progress=progress)
 
-    def make_ds(idxs) -> GraphDataset:
+    def make_ds(idxs, split: str) -> GraphDataset:
         recs = [dat[i] for i in idxs]
-        graphs = records_to_graphs(recs, **graph_kwargs)
-        return GraphDataset(graphs=graphs,
-                            ids=[r[id_tag] for r in recs])
+        ids = [r[id_tag] for r in recs]
+        if cache_dir is not None:
+            # preprocessed-graph disk cache (reference lmdb_dataset.py
+            # role) via the native record store
+            from alignn_tpu.data.cache import GraphCache
 
-    train_ds = make_ds(id_train)
-    val_ds = make_ds(id_val)
-    test_ds = make_ds(id_test)
+            path = os.path.join(cache_dir, f"graphs_{split}")
+            if GraphCache.exists(path):
+                cache = GraphCache(path)
+                if len(cache) == len(recs):
+                    graphs = [cache[i] for i in range(len(cache))]
+                    cache.close()
+                    return GraphDataset(graphs=graphs, ids=ids)
+                cache.close()
+            graphs = records_to_graphs(recs, **graph_kwargs)
+            GraphCache.write(path, graphs)
+            return GraphDataset(graphs=graphs, ids=ids)
+        graphs = records_to_graphs(recs, **graph_kwargs)
+        return GraphDataset(graphs=graphs, ids=ids)
+
+    train_ds = make_ds(id_train, "train")
+    val_ds = make_ds(id_val, "val")
+    test_ds = make_ds(id_test, "test")
 
     mad = train_ds.mad() if len(train_ds) else 0.0
     with open(os.path.join(output_dir, "mad"), "w") as f:

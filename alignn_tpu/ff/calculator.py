@@ -1,0 +1,199 @@
+"""Model-backed calculator: energy / forces / stress for one structure.
+
+Equivalent of reference `AlignnAtomwiseCalculator`
+(`alignn/ff/calculators.py:170-372`) without the ASE dependency: a small
+framework-owned Calculator protocol (`get_potential_energy`,
+`get_forces`, `get_stress`) consumed by :mod:`alignn_tpu.ff.relax`,
+:mod:`alignn_tpu.ff.md` and :mod:`alignn_tpu.ff.tasks`.
+
+TPU-first difference from the reference: the jitted
+energy+forces+stress function is compiled ONCE against a padded bucket
+sized from the first structure (with slack), and subsequent calls —
+every MD/relaxation step — reuse the compile as long as the graph fits
+the bucket (grown geometrically on overflow).  The reference rebuilds a
+DGL graph and re-enters torch eagerly per step
+(ff/calculators.py:284-291).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from alignn_tpu.chem.atoms import Atoms
+from alignn_tpu.graph.batch import BucketSpec, GraphBatch, batch_graphs
+from alignn_tpu.graph.build import build_graph
+
+EV_A3_TO_GPA = 160.21766208
+
+
+def full_3x3_to_voigt_6_stress(s: np.ndarray) -> np.ndarray:
+    """ASE-ordering Voigt: [xx, yy, zz, yz, xz, xy]."""
+    s = np.asarray(s)
+    return np.array([s[0, 0], s[1, 1], s[2, 2],
+                     (s[1, 2] + s[2, 1]) / 2,
+                     (s[0, 2] + s[2, 0]) / 2,
+                     (s[0, 1] + s[1, 0]) / 2])
+
+
+def _round_up(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+class Calculator:
+    """Energy/forces/stress from a trained atomwise model.
+
+    Parameters mirror the reference calculator's knobs
+    (ff/calculators.py:170-208): `intensive` multiplies energy by natoms,
+    `force_multiplier`/`force_mult_natoms` scale forces, `stress_wt`
+    scales the Voigt stress (divided by 160.2177 into eV/A^3 units).
+    """
+
+    def __init__(self, path: Optional[str] = None, model=None,
+                 variables=None, config: Optional[Dict[str, Any]] = None,
+                 intensive: bool = True, force_multiplier: float = 1.0,
+                 force_mult_natoms: bool = False, stress_wt: float = 1.0,
+                 bucket_slack: float = 1.3):
+        if model is None:
+            from alignn_tpu.zoo import load_model_dir
+
+            if path is None:
+                raise ValueError("pass a model directory `path` or a model")
+            model, variables, config = load_model_dir(path)
+        self.model = model
+        self.variables = variables
+        self.config = config or {}
+        self.intensive = intensive
+        self.force_multiplier = force_multiplier
+        self.force_mult_natoms = force_mult_natoms
+        self.stress_wt = stress_wt
+        self.bucket_slack = bucket_slack
+        self._spec: Optional[BucketSpec] = None
+        self._fn = None
+        self._cache_key = None
+        self._results: Optional[Dict[str, np.ndarray]] = None
+
+        self.neighbor_strategy = self.config.get(
+            "neighbor_strategy", "radius_graph")
+        self.cutoff = float(self.config.get("cutoff", 8.0))
+        self.max_neighbors = int(self.config.get("max_neighbors", 12))
+        self.use_canonize = bool(self.config.get("use_canonize", True))
+        self.atom_features = self.config.get("atom_features", "cgcnn")
+
+    # -- compile management -------------------------------------------------
+
+    def _make_fn(self):
+        import jax
+
+        from alignn_tpu.nn.ealignn import eALIGNNAtomWise, ealignn_forward
+        from alignn_tpu.nn.models import ALIGNNAtomWise, atomwise_forward
+
+        model, variables = self.model, self.variables
+        if isinstance(model, eALIGNNAtomWise):
+            @jax.jit
+            def fn(batch: GraphBatch):
+                res = ealignn_forward(model, variables, batch, train=False)
+                return res["out"], res["grad"], res["stresses"]
+            return fn
+        if not isinstance(model, ALIGNNAtomWise) and not hasattr(
+                model, "cfg"):
+            raise TypeError("Calculator requires an atomwise model")
+
+        @jax.jit
+        def fn(batch: GraphBatch):
+            res = atomwise_forward(model, variables, batch, train=False)
+            return res["out"], res["grad"], res["stresses"]
+
+        return fn
+
+    def _spec_for(self, g) -> BucketSpec:
+        s = self.bucket_slack
+        return BucketSpec(
+            n_nodes=_round_up(int(g.num_nodes * s) + 1, 8),
+            n_edges=_round_up(int(g.num_edges * s) + 1, 128),
+            n_lg_edges=_round_up(int(g.num_lg_edges * s) + 1, 512),
+            n_graphs=2,
+        )
+
+    # -- calculation --------------------------------------------------------
+
+    def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:
+        g = build_graph(
+            atoms, neighbor_strategy=self.neighbor_strategy,
+            cutoff=self.cutoff, max_neighbors=self.max_neighbors,
+            use_canonize=self.use_canonize)
+        if (self._spec is None
+                or g.num_nodes >= self._spec.n_nodes
+                or g.num_edges >= self._spec.n_edges
+                or g.num_lg_edges >= self._spec.n_lg_edges):
+            self._spec = self._spec_for(g)
+            self._fn = None
+        if self._fn is None:
+            self._fn = self._make_fn()
+        batch = batch_graphs([g], self._spec,
+                             atom_features=self.atom_features)
+        import jax
+
+        out, grad, stress = jax.device_get(self._fn(batch))
+        n = atoms.num_atoms
+        energy = float(np.asarray(out)[0, 0])
+        if self.intensive:
+            energy *= n
+        forces = np.asarray(grad)[:n] * self.force_multiplier
+        if self.force_mult_natoms:
+            forces = forces * n
+        stress_3x3 = np.asarray(stress)[0]
+        stress_voigt = full_3x3_to_voigt_6_stress(
+            stress_3x3) * self.stress_wt / EV_A3_TO_GPA
+        self._results = {
+            "energy": energy,
+            "forces": forces,
+            "stress": stress_voigt,
+            "stress_3x3": stress_3x3 * self.stress_wt / EV_A3_TO_GPA,
+        }
+        return self._results
+
+    def get_potential_energy(self, atoms: Atoms) -> float:
+        return self.calculate(atoms)["energy"]
+
+    def get_forces(self, atoms: Atoms) -> np.ndarray:
+        return self.calculate(atoms)["forces"]
+
+    def get_stress(self, atoms: Atoms) -> np.ndarray:
+        """Voigt-6 stress in eV/A^3 (ASE convention)."""
+        return self.calculate(atoms)["stress"]
+
+
+def default_path() -> Optional[str]:
+    """Default FF model directory (reference ff/calculators.py:100-110).
+
+    Downloads `v12.2.2024_dft_3d_307k` from the figshare FF registry when
+    network is available; returns None otherwise.
+    """
+    import zipfile
+
+    reg_path = os.path.join(os.path.dirname(__file__), "zoo_ff_models.json")
+    with open(reg_path) as f:
+        reg = json.load(f)["alignn_atomwise"]
+    name = "v12.2.2024_dft_3d_307k"
+    url = reg[name]
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "alignn_tpu",
+                         "ff", name)
+    if os.path.isdir(cache) and os.listdir(cache):
+        return cache
+    try:
+        import urllib.request
+
+        os.makedirs(cache, exist_ok=True)
+        zpath = os.path.join(cache, "model.zip")
+        urllib.request.urlretrieve(url, zpath)
+        with zipfile.ZipFile(zpath) as z:
+            z.extractall(cache)
+        os.remove(zpath)
+        return cache
+    except Exception as exc:  # pragma: no cover - zero-egress env
+        print(f"[ff] default model download failed: {exc}")
+        return None

@@ -1,0 +1,124 @@
+"""Structure relaxation: FIRE optimizer + unit-cell filter.
+
+Framework-owned replacement for the ASE optimizers the reference drives
+in `ForceField.optimize_atoms` (`alignn/ff/ff.py:373-417`, default FIRE,
+optional `ExpCellFilter` lattice relaxation).  FIRE (Bitzek et al., PRL
+97, 170201 (2006)) with ASE-default parameters; cell DOF via ASE's
+UnitCellFilter formulation (deformation gradient scaled by a cell
+factor, generalized cell force = virial / cell_factor).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from alignn_tpu.chem.atoms import Atoms
+
+
+@dataclass
+class FireParams:
+    dt: float = 0.1
+    dtmax: float = 1.0
+    nmin: int = 5
+    finc: float = 1.1
+    fdec: float = 0.5
+    astart: float = 0.1
+    fa: float = 0.99
+    maxstep: float = 0.2
+
+
+class _DofSystem:
+    """[atom positions | deformation gradient] DOF (UnitCellFilter)."""
+
+    def __init__(self, calc, atoms: Atoms, optimize_lattice: bool,
+                 scalar_pressure: float):
+        self.calc = calc
+        self.optimize_lattice = optimize_lattice
+        self.pressure = scalar_pressure
+        self.cell0 = atoms.lattice_mat.copy()
+        self.defgrad = np.eye(3)
+        self.frac = atoms.frac_coords.copy()
+        self.elements = list(atoms.elements)
+        self.n = atoms.num_atoms
+        self.cell_factor = float(max(self.n, 1))
+
+    def atoms(self) -> Atoms:
+        cell = self.defgrad @ self.cell0
+        return Atoms(lattice_mat=cell, frac_coords=self.frac,
+                     elements=self.elements)
+
+    def energy_and_forces(self):
+        a = self.atoms()
+        res = self.calc.calculate(a)
+        f_at = res["forces"]
+        if not self.optimize_lattice:
+            return res["energy"], f_at, a
+        stress = res["stress_3x3"] + self.pressure * np.eye(3)
+        virial = -a.volume * stress  # eV, generalized force on defgrad
+        f_cell = virial / self.cell_factor
+        return res["energy"], np.concatenate([f_at, f_cell], axis=0), a
+
+    def displace(self, dr: np.ndarray):
+        a = self.atoms()
+        cart = a.cart_coords + dr[: self.n]
+        if self.optimize_lattice:
+            self.defgrad = self.defgrad + dr[self.n:] / self.cell_factor
+        cell = self.defgrad @ self.cell0
+        self.frac = cart @ np.linalg.inv(cell)
+
+
+def fire_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
+               optimize_lattice: bool = False,
+               scalar_pressure: float = 0.0,
+               params: Optional[FireParams] = None,
+               trajectory: Optional[list] = None,
+               logger=None) -> Tuple[Atoms, float, int]:
+    """Relax `atoms` until max |F| < fmax; returns (atoms, energy, steps).
+
+    With `optimize_lattice`, positions and the cell are co-optimized
+    (reference ExpCellFilter path, ff/ff.py:400-401).
+    """
+    p = params or FireParams()
+    sys = _DofSystem(calc, atoms, optimize_lattice, scalar_pressure)
+    ndof = sys.n + (3 if optimize_lattice else 0)
+    v = np.zeros((ndof, 3))
+    dt = p.dt
+    alpha = p.astart
+    n_pos = 0
+    energy = np.inf
+
+    for it in range(steps):
+        energy, forces, a = sys.energy_and_forces()
+        fnorm = float(np.sqrt((forces ** 2).sum(axis=1).max()))
+        if logger is not None:
+            logger(it, energy, fnorm)
+        if trajectory is not None:
+            trajectory.append({"energy": float(energy), "fmax": fnorm,
+                               "atoms": a.to_dict()})
+        if fnorm < fmax:
+            return a, float(energy), it
+        power = float((forces * v).sum())
+        if power > 0:
+            vnorm = np.linalg.norm(v)
+            fn = max(np.linalg.norm(forces), 1e-12)
+            v = (1 - alpha) * v + alpha * forces * (vnorm / fn)
+            n_pos += 1
+            if n_pos > p.nmin:
+                dt = min(dt * p.finc, p.dtmax)
+                alpha *= p.fa
+        else:
+            v[:] = 0.0
+            dt *= p.fdec
+            alpha = p.astart
+            n_pos = 0
+        v = v + dt * forces
+        dr = dt * v
+        maxd = np.sqrt((dr ** 2).sum(axis=1).max())
+        if maxd > p.maxstep:
+            dr = dr * (p.maxstep / maxd)
+        sys.displace(dr)
+    energy, _forces, a = sys.energy_and_forces()
+    return a, float(energy), steps

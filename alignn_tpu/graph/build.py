@@ -94,7 +94,16 @@ def _tiled_pairs(atoms: Atoms, cutoff: float, bond_tol: float = 0.5,
 
     Self-pairs at distance ~0 are excluded.  Returns arrays
     (u [P], v [P], images [P,3] int, disp [P,3], dist [P]).
+
+    Uses the C++ cell-list search (alignn_tpu/native/neighbors.cpp) when
+    the native library is available; numpy supercell tiling otherwise.
     """
+    from alignn_tpu.native import periodic_pairs_native
+
+    native = periodic_pairs_native(atoms.lattice_mat, atoms.frac_coords,
+                                   cutoff, atol=atol)
+    if native is not None:
+        return native
     nmin, nmax = _image_ranges(atoms, cutoff, bond_tol)
     ranges = [np.arange(nmin[k], nmax[k]) for k in range(3)]
     cell_images = np.stack(
@@ -330,6 +339,12 @@ def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
         raise ValueError(f"unknown neighbor_strategy: {neighbor_strategy}")
 
     n = atoms.num_atoms
+    # sort edges by dst so segment reductions over dst stream contiguously
+    # (enables indices_are_sorted segment sums and tiled SpMM kernels);
+    # padded edges target the trash node (largest index), so batching
+    # preserves sortedness per graph block.
+    order = np.argsort(v, kind="stable")
+    u, v, r, images = u[order], v[order], r[order], images[order]
     lg_src = lg_dst = None
     if compute_line_graph:
         lg_src, lg_dst = line_graph_edges(u, v, n)

@@ -28,6 +28,18 @@ from alignn_tpu.ops.basis import rbf_expand, rbf_params
 from alignn_tpu.ops.segment import edge_gated_aggregate
 
 
+def pallas_default() -> bool:
+    """Fused Pallas aggregation on TPU backends unless disabled."""
+    import os
+
+    if os.environ.get("ALIGNN_TPU_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def torch_linear_init(fan_in: int):
     """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Linear default bound."""
     bound = 1.0 / (fan_in ** 0.5)
@@ -189,19 +201,35 @@ class EdgeGatedGraphConv(nn.Module):
     residual: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
+    edge_axis: Optional[str] = None    # edge-partitioned mesh axis
 
     @nn.compact
     def __call__(self, x, e, src, dst, node_mask=None, edge_mask=None,
-                 train: bool = True):
+                 train: bool = True, edge_weight=None):
         num_nodes = x.shape[0]
         f = self.features
         src_gate = Dense(f, dtype=self.dtype, name="src_gate")(x)
         dst_gate = Dense(f, dtype=self.dtype, name="dst_gate")(x)
         m = src_gate[src] + dst_gate[dst] + Dense(
             f, dtype=self.dtype, name="edge_gate")(e)
-        sigma = nn.sigmoid(m)
         bh = Dense(f, dtype=self.dtype, name="dst_update")(x)
-        h = edge_gated_aggregate(bh[src], sigma, dst, num_nodes)
+        pallas = self.use_pallas if self.use_pallas is not None \
+            else pallas_default()
+        if pallas and edge_weight is None and self.edge_axis is None:
+            from alignn_tpu.ops.pallas_eggc import \
+                edge_gated_aggregate_pallas
+
+            h = edge_gated_aggregate_pallas(bh[src], m, dst, num_nodes)
+        else:
+            sigma = nn.sigmoid(m)
+            if edge_weight is not None:
+                # soft edge pruning (eALIGNN inner_cutoff masks): a zero
+                # weight removes the edge from both numerator and
+                # denominator, matching dynamic edge removal
+                sigma = sigma * edge_weight[:, None]
+            h = edge_gated_aggregate(bh[src], sigma, dst, num_nodes,
+                                     edge_axis=self.edge_axis)
         x_new = Dense(f, dtype=self.dtype, name="src_update")(x) + h
 
         if self.norm == "batchnorm":
@@ -227,25 +255,39 @@ class ALIGNNConv(nn.Module):
 
     Reference alignn.py:132-167: node_update(g, x, y) -> (x, m);
     edge_update(L(g), m, z) -> (y, z).
+
+    With `edge_axis` (edge-partitioned graph parallelism): src/dst/lg
+    index arrays and y/z features are sharded over the mesh axis; node
+    features x stay replicated (psum'd inside the aggregation).  The
+    bond messages m — the L(g) node features — are all-gathered over ICI
+    between the two stages so every chip can gather its local L-edges'
+    endpoints; the L-stage output y comes back replicated via the
+    aggregation psum.
     """
 
     features: int
     norm: str = "layernorm"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, y, z, src, dst, lg_src, lg_dst,
                  node_mask=None, edge_mask=None, lg_mask=None,
-                 train: bool = True):
+                 train: bool = True, edge_weight=None, lg_weight=None):
         x, m = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, name="node_update")(
+            dtype=self.dtype, edge_axis=self.edge_axis,
+            name="node_update")(
             x, y, src, dst, node_mask=node_mask, edge_mask=edge_mask,
-            train=train)
+            train=train, edge_weight=edge_weight)
+        if self.edge_axis is not None:
+            # halo exchange: local bond messages -> full edge table
+            m = jax.lax.all_gather(m, self.edge_axis, axis=0, tiled=True)
         y, z = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, name="edge_update")(
+            dtype=self.dtype, edge_axis=self.edge_axis,
+            name="edge_update")(
             m, z, lg_src, lg_dst, node_mask=edge_mask, edge_mask=lg_mask,
-            train=train)
+            train=train, edge_weight=lg_weight)
         return x, y, z

@@ -172,23 +172,37 @@ class _Embeddings(nn.Module):
 
 
 class _Trunk(nn.Module):
-    """ALIGNN conv stack + GCN stack (shared by both models)."""
+    """ALIGNN conv stack + GCN stack (shared by both models).
+
+    With `edge_axis` set, y flows replicated out of each L-stage (see
+    ALIGNNConv) and is sliced back to the local edge shard before the
+    next g-stage.
+    """
 
     cfg: Any
     norm: str
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    edge_axis: Optional[str] = None
+
+    def _local_edges(self, y, n_local):
+        d = jax.lax.axis_index(self.edge_axis)
+        return jax.lax.dynamic_slice_in_dim(y, d * n_local, n_local, 0)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, y, z, train: bool = True):
         cfg = self.cfg
-        kw = dict(norm=self.norm, axis_name=self.axis_name, dtype=self.dtype)
+        kw = dict(norm=self.norm, axis_name=self.axis_name,
+                  dtype=self.dtype, edge_axis=self.edge_axis)
+        n_local = batch.src.shape[0]
         for i in range(cfg.alignn_layers):
             x, y, z = ALIGNNConv(cfg.hidden_features,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 node_mask=batch.node_mask, edge_mask=batch.edge_mask,
                 lg_mask=batch.lg_mask, train=train)
+            if self.edge_axis is not None:
+                y = self._local_edges(y, n_local)
         for i in range(cfg.gcn_layers):
             x, y = EdgeGatedGraphConv(cfg.hidden_features,
                                       name=f"gcn_layers_{i}", **kw)(
@@ -260,13 +274,24 @@ class ALIGNNAtomWise(nn.Module):
     cfg: ALIGNNAtomWiseConfig
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    edge_axis: Optional[str] = None  # edge-partitioned graph parallelism
 
     @nn.compact
     def __call__(self, batch: GraphBatch, r, train: bool = True):
         cfg = self.cfg
         kw = dict(norm="layernorm", axis_name=self.axis_name,
                   dtype=self.dtype)
-        bondlength = jnp.linalg.norm(r, axis=1)
+        if self.edge_axis is not None:
+            # `r` arrives as the FULL edge table (replicated); per-edge
+            # features use this chip's shard, angle gathers use the full
+            # table (lg_src/lg_dst are global edge ids)
+            n_local = batch.src.shape[0]
+            d = jax.lax.axis_index(self.edge_axis)
+            r_local = jax.lax.dynamic_slice_in_dim(r, d * n_local,
+                                                   n_local, 0)
+        else:
+            r_local = r
+        bondlength = jnp.linalg.norm(r_local, axis=1)
         cosines = bond_cosines(r, batch.lg_src, batch.lg_dst)
 
         edge_scale = None
@@ -287,7 +312,8 @@ class ALIGNNAtomWise(nn.Module):
 
         x, y, z = _Embeddings(cfg, name="embeddings", **kw)(
             batch, rbf_input, cosines, train=train, edge_scale=edge_scale)
-        x, y = _Trunk(cfg, name="trunk", **kw)(batch, x, y, z, train=train)
+        x, y = _Trunk(cfg, name="trunk", edge_axis=self.edge_axis, **kw)(
+            batch, x, y, z, train=train)
 
         result: Dict[str, jnp.ndarray] = {}
         h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
@@ -335,7 +361,11 @@ class ALIGNNAtomWise(nn.Module):
                 jnp.zeros_like(bondlength)) * batch.edge_mask
             # reference adds the batch-total penalty to every graph's
             # energy (alignn_atomwise.py:509-510) — reproduced exactly
-            en_out = en_out + jnp.sum(penalties)
+            total_penalty = jnp.sum(penalties)
+            if self.edge_axis is not None:
+                total_penalty = jax.lax.psum(total_penalty,
+                                             self.edge_axis)
+            en_out = en_out + total_penalty
 
         out = _apply_link(out, cfg.link)
         if cfg.classification:
@@ -360,7 +390,14 @@ def compute_cartesian_r(batch: GraphBatch, frac_coords=None):
     cart = jnp.einsum("ni,nij->nj", frac, lat_per_node)
     lat_per_edge = batch.lattice[batch.edge_graph]
     img_cart = jnp.einsum("ei,eij->ej", batch.images, lat_per_edge)
-    return cart[batch.dst] + img_cart - cart[batch.src]
+    r = cart[batch.dst] + img_cart - cart[batch.src]
+    # padded edges connect the trash node to itself -> r = 0, whose norm
+    # has a NaN gradient; give them the unit-x pad displacement (matching
+    # graph.batch padding) so autograd stays finite.  The mask also cuts
+    # any frac dependence, so padded edges contribute zero force.
+    mask = batch.edge_mask[:, None]
+    pad_r = jnp.zeros_like(r).at[:, 0].set(1.0)
+    return r * mask + pad_r * (1.0 - mask)
 
 
 def atomwise_forward(model: ALIGNNAtomWise, variables, batch: GraphBatch,

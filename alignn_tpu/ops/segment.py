@@ -53,18 +53,27 @@ def graph_readout_sum(node_feats: jnp.ndarray, node_graph: jnp.ndarray,
 
 def edge_gated_aggregate(gated_src_feats: jnp.ndarray, sigma: jnp.ndarray,
                          dst: jnp.ndarray, num_nodes: int,
-                         eps: float = 1e-6):
+                         eps: float = 1e-6,
+                         indices_are_sorted: bool = True,
+                         edge_axis: str | None = None):
     """Normalized gated aggregation: the EGGC node-update reduction.
 
     h_i = (sum_{e: dst(e)=i} sigma_e * Bh_src(e)) / (sum sigma_e + eps)
 
     Both reductions fuse into one scatter by concatenating features —
     one pass over HBM instead of two (vs reference alignn.py:105-108,
-    which issues two DGL update_all calls).
+    which issues two DGL update_all calls).  Edges are sorted by dst at
+    graph-build time (alignn_tpu.graph.build.build_graph), so the
+    scatter is a contiguous segment reduction.
     """
     f = gated_src_feats.shape[-1]
     packed = jnp.concatenate([gated_src_feats * sigma, sigma], axis=-1)
-    summed = segment_sum(packed, dst, num_nodes)
+    summed = segment_sum(packed, dst, num_nodes,
+                         indices_are_sorted=indices_are_sorted)
+    if edge_axis is not None:
+        # edge-partitioned mode: every chip holds an edge shard; partial
+        # segment sums reduce over ICI *before* the normalization divide
+        summed = jax.lax.psum(summed, edge_axis)
     sum_sigma_h = summed[:, :f]
     sum_sigma = summed[:, f:]
     return sum_sigma_h / (sum_sigma + eps)

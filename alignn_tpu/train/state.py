@@ -54,8 +54,13 @@ class TrainState:
 def create_train_state(model, sample_batch: GraphBatch, tx,
                        seed: int = 123) -> TrainState:
     """Initialize parameters on the sample batch shape."""
+    from alignn_tpu.nn.ealignn import eALIGNNAtomWise
+
     rng = jax.random.PRNGKey(seed)
-    if isinstance(model, ALIGNNAtomWise):
+    if isinstance(model, eALIGNNAtomWise):
+        variables = model.init(rng, sample_batch,
+                               sample_batch.frac_coords, train=False)
+    elif isinstance(model, ALIGNNAtomWise):
         variables = model.init(rng, sample_batch, sample_batch.r,
                                train=False)
     else:
@@ -80,6 +85,14 @@ def _forward_and_loss(model, params, batch_stats, batch: GraphBatch,
     if batch_stats:
         variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if train else []
+
+    from alignn_tpu.nn.ealignn import eALIGNNAtomWise, ealignn_forward
+
+    if isinstance(model, eALIGNNAtomWise):
+        res = ealignn_forward(model, variables, batch, train=train)
+        losses = atomwise_loss(res, batch, model.cfg,
+                               classification=classification)
+        return losses["loss"], (losses, res, batch_stats)
 
     if isinstance(model, ALIGNNAtomWise):
         if mutable:

@@ -18,9 +18,10 @@ import time
 
 import numpy as np
 
-# edges+line-graph-edges per second, reference torch/DGL path on this
-# machine's CPU (see BENCH_NOTES.md for the measurement recipe)
-BASELINE_EDGES_PER_S = 2.0e5
+# edges+line-graph-edges per second, reference-equivalent torch path on
+# this machine's CPU: tools/baseline_torch.py measured 3956 edges/s
+# (see BENCH_NOTES.md for the recipe and caveats)
+BASELINE_EDGES_PER_S = 3.96e3
 
 
 def build_batch(batch_size=32, seed=0):

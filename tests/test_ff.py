@@ -1,0 +1,162 @@
+"""FF / simulation layer tests: calculator, FIRE, MD, EOS, slab, phonons.
+
+Mechanism tests run with a randomly initialized tiny model (the physics
+plumbing — units, conservation, masks — does not depend on trained
+weights); numerical invariants checked: NVE drift bounded, torque removal
+zeroing net torque, EOS fit recovering a parabola minimum, ASR in FCs.
+"""
+
+import numpy as np
+import pytest
+
+from alignn_tpu.chem.atoms import Atoms
+from alignn_tpu.ff.calculator import Calculator, full_3x3_to_voigt_6_stress
+from alignn_tpu.ff.md import run_md, maxwell_boltzmann_velocities
+from alignn_tpu.ff.relax import fire_relax
+from alignn_tpu.ff.tasks import fit_murnaghan, make_slab, ev_curve
+
+
+@pytest.fixture(scope="module")
+def calc():
+    import jax
+
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8, gradwise_weight=1.0,
+        stresswise_weight=0.1)
+    model = ALIGNNAtomWise(cfg=cfg)
+    probe = Atoms(lattice_mat=np.eye(3) * 4.0,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    g = build_graph(probe, cutoff=5.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    return Calculator(model=model, variables=variables,
+                      config={"neighbor_strategy": "k-nearest",
+                              "cutoff": 5.0, "max_neighbors": 12})
+
+
+@pytest.fixture(scope="module")
+def nacl():
+    return Atoms(lattice_mat=np.eye(3) * 4.1,
+                 frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                 elements=["Na", "Cl"])
+
+
+def test_calculator_basics(calc, nacl):
+    res = calc.calculate(nacl)
+    assert np.isfinite(res["energy"])
+    assert res["forces"].shape == (2, 3)
+    assert res["stress"].shape == (6,)
+    # symmetric structure at high symmetry: forces ~ equal/opposite
+    assert np.allclose(res["forces"][0], -res["forces"][1], atol=1e-4)
+
+
+def test_calculator_bucket_reuse(calc, nacl):
+    calc.calculate(nacl)
+    fn1 = calc._fn
+    # small perturbation: same bucket, no recompile
+    a2 = nacl.with_positions(
+        cart_coords=nacl.cart_coords + [[0.05, 0, 0], [0, 0, 0]])
+    calc.calculate(a2)
+    assert calc._fn is fn1
+
+
+def test_voigt_conversion():
+    s = np.array([[1.0, 6.0, 5.0], [6.0, 2.0, 4.0], [5.0, 4.0, 3.0]])
+    v = full_3x3_to_voigt_6_stress(s)
+    assert np.allclose(v, [1, 2, 3, 4, 5, 6])
+
+
+def test_fire_relax_reduces_force(calc, nacl):
+    a = nacl.with_positions(
+        cart_coords=nacl.cart_coords + [[0.3, 0.0, 0.0], [0, 0, 0]])
+    f0 = np.abs(calc.get_forces(a)).max()
+    relaxed, e, n = fire_relax(calc, a, fmax=f0 * 0.3, steps=60)
+    f1 = np.abs(calc.get_forces(relaxed)).max()
+    assert f1 < f0
+
+
+def test_md_nve_runs_and_conserves(calc, nacl):
+    state, log = run_md(calc, nacl, ensemble="nve", steps=20,
+                        timestep_fs=0.5, initial_temperature_K=100,
+                        log_interval=5, seed=1)
+    etot = [r["etot"] for r in log.rows]
+    assert all(np.isfinite(etot))
+    # bounded drift for a random-weight potential over 20 x 0.5fs steps
+    assert abs(etot[-1] - etot[0]) < 0.3 * max(abs(etot[0]), 1.0)
+
+
+def test_md_thermostats(calc, nacl):
+    _s, log = run_md(calc, nacl, ensemble="nvt_langevin", steps=10,
+                     temperature_K=300, seed=2)
+    assert np.isfinite(log.rows[-1]["T"])
+    s, _log = run_md(calc, nacl, ensemble="npt_berendsen", steps=5,
+                     temperature_K=300, seed=3)
+    assert s.atoms.volume > 0
+
+
+def test_maxwell_boltzmann_com():
+    a = Atoms(lattice_mat=np.eye(3) * 8, frac_coords=np.random.rand(10, 3),
+              elements=["Si"] * 10)
+    v = maxwell_boltzmann_velocities(a, 300.0, seed=0)
+    from alignn_tpu.chem.atoms import atomic_masses
+
+    m = atomic_masses()[a.atomic_numbers]
+    assert np.allclose((m[:, None] * v).sum(axis=0), 0, atol=1e-10)
+
+
+def test_murnaghan_fit_recovers_minimum():
+    v = np.linspace(60, 80, 11)
+    e = 0.002 * (v - 70.0) ** 2 - 5.0
+    eos = fit_murnaghan(v, e)
+    assert eos["V0"] == pytest.approx(70.0, rel=0.02)
+    assert eos["E0"] == pytest.approx(-5.0, abs=0.05)
+    assert eos["B_GPa"] > 0
+
+
+def test_make_slab_vacuum_and_count(nacl):
+    slab = make_slab(nacl, (1, 0, 0), layers=2, vacuum=10.0)
+    # 2 layers of the unit cell, vacuum added along c
+    assert slab.num_atoms == 4
+    c = np.linalg.norm(slab.lattice_mat[2])
+    assert c > 10.0
+    # (1,1,1) slab has a valid cell too
+    slab2 = make_slab(nacl, (1, 1, 1), layers=1, vacuum=10.0)
+    assert slab2.num_atoms >= 1
+    assert slab2.volume > 0
+
+
+def test_force_constant_asr(calc, nacl):
+    from alignn_tpu.ff.phonons import force_constants, phonon_frequencies
+
+    fcdata = force_constants(calc, nacl, supercell=(2, 2, 2), delta=0.02)
+    fc = fcdata["fc"]
+    # acoustic sum rule: rows sum to ~0
+    for i in range(fc.shape[0]):
+        assert np.allclose(fc[i].sum(axis=1), 0, atol=1e-8), i
+    freqs = phonon_frequencies(fcdata, np.array([0.0, 0.0, 0.0]))
+    # 3 acoustic modes ~ 0 at Gamma
+    assert np.sum(np.abs(freqs) < 0.5) >= 3
+
+
+def test_remove_net_torque():
+    import jax.numpy as jnp
+
+    from alignn_tpu.nn.ealignn import remove_net_torque
+
+    rng = np.random.default_rng(0)
+    cart = jnp.asarray(rng.standard_normal((5, 3)))
+    forces = jnp.asarray(rng.standard_normal((5, 3)))
+    node_graph = jnp.zeros(5, dtype=jnp.int32)
+    node_mask = jnp.ones(5)
+    n_nodes = jnp.array([5.0])
+    adj = remove_net_torque(cart, forces, node_graph, node_mask, n_nodes)
+    com = np.asarray(cart).mean(axis=0)
+    tau = np.cross(np.asarray(cart) - com, np.asarray(adj)).sum(axis=0)
+    assert np.allclose(tau, 0, atol=1e-6)

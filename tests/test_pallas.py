@@ -1,0 +1,92 @@
+"""Pallas fused gated-aggregation kernel: parity vs the XLA path.
+
+On CPU the kernel runs in interpreter mode; the same code path compiles
+for TPU.  Checks forward parity, VJP parity, and grad-of-grad (the force
+-training double-backward requirement, SURVEY.md §7 hard parts).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alignn_tpu.ops.pallas_eggc import (
+    TN,
+    _xla_forward,
+    edge_gated_aggregate_pallas,
+    gated_aggregate,
+)
+
+
+def _random_problem(num_nodes=256, e=1500, f=128, seed=0):
+    rng = np.random.default_rng(seed)
+    dst = np.sort(rng.integers(0, num_nodes, size=e)).astype(np.int32)
+    m = rng.standard_normal((e, f)).astype(np.float32)
+    bh = rng.standard_normal((e, f)).astype(np.float32)
+    return jnp.asarray(m), jnp.asarray(bh), jnp.asarray(dst), num_nodes
+
+
+def test_forward_parity():
+    m, bh, dst, n = _random_problem()
+    h_pallas = gated_aggregate(m, bh, dst, n, True)
+    h_xla = _xla_forward(m, bh, dst, n)
+    np.testing.assert_allclose(np.asarray(h_pallas), np.asarray(h_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_forward_parity_empty_nodes():
+    # nodes with no incident edges must come out exactly 0
+    m, bh, dst, n = _random_problem(num_nodes=TN * 2, e=64)
+    dst = jnp.where(dst < TN, dst, TN - 1).astype(jnp.int32)  # tile 2 empty
+    dst = jnp.sort(dst)
+    h = gated_aggregate(m, bh, dst, n, True)
+    np.testing.assert_allclose(np.asarray(h)[TN:], 0.0, atol=1e-6)
+
+
+def test_vjp_parity():
+    m, bh, dst, n = _random_problem(f=128, e=700)
+
+    def loss_p(m, bh):
+        return jnp.sum(gated_aggregate(m, bh, dst, n, True) ** 2)
+
+    def loss_x(m, bh):
+        return jnp.sum(_xla_forward(m, bh, dst, n) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(m, bh)
+    gx = jax.grad(loss_x, argnums=(0, 1))(m, bh)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grad_of_grad():
+    # double-backward through the custom VJP (force-loss training path)
+    m, bh, dst, n = _random_problem(num_nodes=TN, e=200, f=128)
+
+    def energy(m):
+        return jnp.sum(gated_aggregate(m, bh, dst, n, True))
+
+    def force_norm(m):
+        return jnp.sum(jax.grad(energy)(m) ** 2)
+
+    g2 = jax.grad(force_norm)(m)
+    assert np.isfinite(np.asarray(g2)).all()
+
+    def energy_x(m):
+        return jnp.sum(_xla_forward(m, bh, dst, n))
+
+    def force_norm_x(m):
+        return jnp.sum(jax.grad(energy_x)(m) ** 2)
+
+    g2x = jax.grad(force_norm_x)(m)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wrapper_fallback_unaligned():
+    # num_nodes not a TN multiple -> XLA path, still correct
+    m, bh, dst, n = _random_problem(num_nodes=100, e=300)
+    h = edge_gated_aggregate_pallas(bh, m, dst, n)
+    h_ref = _xla_forward(m, bh, dst, n)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
