@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "nvt_langevin", "nvt_andersen",
                             "nvt_berendsen", "npt_berendsen",
                             "npt_nose_hoover", "ev_curve", "vacancy",
-                            "surface", "phonons"])
+                            "surface", "interface", "phonons"])
+    p.add_argument("--substrate_path", default=None,
+                   help="substrate structure for --task interface")
     p.add_argument("--temperature_K", default=300.0, type=float)
     p.add_argument("--pressure_GPa", default=0.0, type=float)
     p.add_argument("--timestep_fs", default=1.0, type=float)
@@ -81,6 +83,14 @@ def main(argv=None):
         miller = tuple(int(x) for x in args.miller.split(","))
         out = ff.surface_energy(miller=miller, fmax=args.fmax,
                                 steps=args.opt_steps)
+        print(json.dumps({k: v for k, v in out.items()
+                          if k != "interface"}))
+    elif task == "interface":
+        if not args.substrate_path:
+            raise SystemExit("--task interface requires --substrate_path")
+        substrate = Atoms.from_file(args.substrate_path)
+        out = ff.interface_energy(substrate, fmax=args.fmax,
+                                  steps=args.opt_steps)
         print(json.dumps({k: v for k, v in out.items()
                           if k != "interface"}))
     elif task == "phonons":

@@ -197,3 +197,87 @@ def default_path() -> Optional[str]:
     except Exception as exc:  # pragma: no cover - zero-egress env
         print(f"[ff] default model download failed: {exc}")
         return None
+
+
+DEFAULT_IPROPS = [
+    "cbm", "vbm", "gap", "efermi", "optb88vdw_bandgap", "mbj_bandgap",
+    "spillage", "slme", "bulk_modulus_kv", "shear_modulus_gv",
+    "n-Seebeck", "n-powerfact", "avg_elec_mass", "avg_hole_mass",
+    "epsx", "mepsx", "max_efg", "dfpt_piezo_max_dielectric",
+    "dfpt_piezo_max_dij", "exfoliation_energy", "Tc_supercon",
+    "magmom_oszicar",
+]
+
+
+class iCalculator(Calculator):
+    """Dual-model calculator: FF energetics + property/atomwise extras.
+
+    Equivalent of reference `iAlignnAtomwiseCalculator`
+    (ff/calculators.py:375-542): one atomwise FF model supplies
+    energy/forces/stress; a second multi-head property model supplies
+    per-atom charges/magmoms (atomwise head) and the 22 named properties
+    (additional head).  Negative gap-like properties clamp to 0.
+    """
+
+    def __init__(self, ff_path: Optional[str] = None,
+                 prop_path: Optional[str] = None,
+                 stress_wt: float = 0.05,
+                 props=None, **kw):
+        super().__init__(path=ff_path, stress_wt=stress_wt, **kw)
+        self.props = props or list(DEFAULT_IPROPS)
+        self._prop_calc = None
+        if prop_path is not None:
+            self._prop_calc = Calculator(path=prop_path)
+
+    def calculate(self, atoms: Atoms) -> Dict[str, Any]:
+        results = dict(super().calculate(atoms))
+        if self._prop_calc is not None:
+            pc = self._prop_calc
+            g = build_graph(
+                atoms, neighbor_strategy=pc.neighbor_strategy,
+                cutoff=pc.cutoff, max_neighbors=pc.max_neighbors,
+                use_canonize=pc.use_canonize)
+            if (pc._spec is None or g.num_nodes >= pc._spec.n_nodes
+                    or g.num_edges >= pc._spec.n_edges
+                    or g.num_lg_edges >= pc._spec.n_lg_edges):
+                pc._spec = pc._spec_for(g)
+                pc._fn = None
+            if pc._fn is None:
+                pc._fn = pc._make_prop_fn()
+            batch = batch_graphs([g], pc._spec,
+                                 atom_features=pc.atom_features)
+            import jax
+
+            atomwise, additional = jax.device_get(pc._fn(batch))
+            n = atoms.num_atoms
+            atomwise = np.asarray(atomwise)[:n]
+            if atomwise.shape[1] >= 2:
+                results["charges"] = atomwise[:, 0].tolist()
+                results["magmoms"] = atomwise[:, 1].tolist()
+            additional = np.asarray(additional)[0]
+            for name, val in zip(self.props, additional):
+                v = float(val)
+                if "gap" in name and v < 0:
+                    v = 0.0
+                results[name] = v
+        self._results = results
+        return results
+
+
+def _make_prop_fn_impl(self):
+    """Jitted (batch) -> (atomwise_pred, additional) for iCalculator."""
+    import jax
+
+    from alignn_tpu.nn.models import ALIGNNAtomWise, atomwise_forward
+
+    model, variables = self.model, self.variables
+
+    @jax.jit
+    def fn(batch: GraphBatch):
+        res = atomwise_forward(model, variables, batch, train=False)
+        return res["atomwise_pred"], res["additional"]
+
+    return fn
+
+
+Calculator._make_prop_fn = _make_prop_fn_impl

@@ -91,7 +91,7 @@ class Model(nn.Module):
             y, z = b(m, z, lg_src, lg_dst)
         for gcn in self.gcn:
             x, y = gcn(x, y, src, dst)
-        pooled = torch.zeros(n_graphs, x.shape[1]).index_add_(
+        pooled = torch.zeros(n_graphs, x.shape[1], dtype=x.dtype).index_add_(
             0, node_graph, x)
         pooled = pooled / n_nodes_per_graph[:, None].clamp(min=1)
         out = self.fc(pooled)[:, 0]
