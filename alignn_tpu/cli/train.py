@@ -37,6 +37,7 @@ def train_for_folder(
     restart_model_path: Optional[str] = None,
     output_dir: Optional[str] = None,
     devices: int = 1,
+    profile: Optional[str] = None,
 ):
     """Train from a folder of structures + id_prop targets."""
     if not os.path.exists(config_name):
@@ -75,10 +76,13 @@ def train_for_folder(
     # multi-output csv target detection (reference train_alignn.py:324-334)
     t0 = records[0]["target"]
     if isinstance(t0, list):
+        import dataclasses
+
         widths = {len(r["target"]) for r in records}
         if len(widths) != 1:
             raise ValueError("Make sure the outputs are of same size.")
-        config.model.output_features = len(t0)
+        config.model = dataclasses.replace(
+            config.model, output_features=len(t0))
     target_width = getattr(config.model, "output_features", 1)
     atomwise_width = getattr(m, "atomwise_output_features", 0)
     additional_width = getattr(m, "additional_output_features", 0)
@@ -118,6 +122,27 @@ def train_for_folder(
         cache_dir=(os.path.join(config.output_dir, "graph_cache")
                    if config.use_cache else None),
     )
+    if profile:
+        # wrap one train step in a jax.profiler trace
+        # (reference profiler.py schedule, via cli.py --profile)
+        from alignn_tpu.profiler import profile_step
+        from alignn_tpu.train.optim import build_optimizer
+        from alignn_tpu.train.state import create_train_state, \
+            make_train_step
+        from alignn_tpu.train.trainer import build_model
+
+        model = build_model(config.model)
+        batch = next(iter(tr))
+        tx = build_optimizer(config.optimizer, config.learning_rate,
+                             config.weight_decay)
+        state = create_train_state(model, batch, tx)
+        step = make_train_step(model, criterion=config.criterion,
+                               donate=False)
+        edges = (tr.spec.n_edges + tr.spec.n_lg_edges) if tr.spec else None
+        result = profile_step(step, state, batch, logdir=profile,
+                              edges_per_batch=edges)
+        print(result)
+        return result
     if devices > 1:
         from alignn_tpu.parallel.dp import train_model_dp
 
@@ -148,6 +173,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restart_model_path", default=None)
     p.add_argument("--devices", default=1, type=int,
                    help="data-parallel device count (mesh axis size)")
+    p.add_argument("--profile", default=None,
+                   help="profile one train step into this trace dir "
+                        "instead of training (reference cli.py --profile)")
     return p
 
 
@@ -169,6 +197,7 @@ def main(argv=None):
         restart_model_path=args.restart_model_path,
         output_dir=args.output_dir,
         devices=args.devices,
+        profile=args.profile,
     )
 
 

@@ -67,7 +67,8 @@ class BucketedLoader:
                  target_width: int = 1, atomwise_width: int = 0,
                  additional_width: int = 0, extra_width: int = 0,
                  num_shards: int = 1, seed: int = 123,
-                 bucket_slack: float = 1.0):
+                 bucket_slack: float = 1.0,
+                 host_id: int = 0, num_hosts: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -80,13 +81,18 @@ class BucketedLoader:
         self.num_shards = num_shards
         self.seed = seed
         self.epoch = 0
+        # multi-host input sharding (DistributedSampler parity,
+        # reference data.py:357-364): every host derives the same
+        # seeded permutation and takes its strided slice
+        self.host_id = host_id
+        self.num_hosts = max(num_hosts, 1)
         if spec is None and len(dataset) > 0:
             spec = worst_case_spec(dataset.graphs, batch_size,
                                    slack=bucket_slack)
         self.spec = spec
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._order())
         full = self.batch_size * self.num_shards
         if self.drop_last:
             return n // full
@@ -99,8 +105,12 @@ class BucketedLoader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            return rng.permutation(n)
-        return np.arange(n)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.num_hosts > 1:
+            order = order[self.host_id::self.num_hosts]
+        return order
 
     def _make_batch(self, idxs) -> GraphBatch:
         graphs = [self.dataset.graphs[i] for i in idxs]

@@ -49,37 +49,61 @@ def _kernel(off_ref, lo_ref, hi_ref,     # scalar prefetch [num_tiles]
     start = off_ref[tile]     # TE-aligned DMA base for this tile
     lo = lo_ref[tile]         # true first edge of the tile's dst range
     hi = hi_ref[tile]         # one past the true last edge
-    f = m_buf.shape[1]
+    f = m_buf.shape[2]
 
     acc[:] = jnp.zeros_like(acc)
     num_chunks = pl.cdiv(hi - start, TE)
 
-    def body(k, _):
+    def dmas(k, slot):
         # `start` is TE-aligned (host-side alignment), so every DMA
         # start is provably tile-aligned for Mosaic
         e0 = pl.multiple_of(start + k * TE, TE)
-        cp_m = pltpu.make_async_copy(
-            m_hbm.at[pl.ds(e0, TE), :], m_buf, sems.at[0])
-        cp_b = pltpu.make_async_copy(
-            bh_hbm.at[pl.ds(e0, TE), :], bh_buf, sems.at[1])
-        cp_o = pltpu.make_async_copy(
-            oh_hbm.at[pl.ds(e0, TE), :], oh_buf, sems.at[2])
-        cp_m.start()
-        cp_b.start()
-        cp_o.start()
-        cp_m.wait()
-        cp_b.wait()
-        cp_o.wait()
+        return (
+            pltpu.make_async_copy(
+                m_hbm.at[pl.ds(e0, TE), :], m_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                bh_hbm.at[pl.ds(e0, TE), :], bh_buf.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                oh_hbm.at[pl.ds(e0, TE), :], oh_buf.at[slot],
+                sems.at[slot, 2]),
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        # warmup: first chunk's DMAs; guarded so empty tiles don't leak
+        # un-waited semaphore signals into later grid steps
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        nxt = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < num_chunks)
+        def _():
+            # double buffering: prefetch chunk k+1 while computing k
+            for cp in dmas(k + 1, nxt):
+                cp.start()
+
+        for cp in dmas(k, slot):
+            cp.wait()
+        e0 = start + k * TE
         # row-index masking: the aligned head [start, lo) belongs to the
-        # previous tile, rows >= hi to later tiles / padding
+        # previous tile, rows >= hi to later tiles / padding.
+        # Operands stream bf16 (HBM traffic win) but VPU math runs f32 —
+        # Mosaic rejects mixed-precision vector ops.
         idx = e0 + jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0)[:, 0]
-        valid = ((idx >= lo) & (idx < hi)).astype(m_buf.dtype)
-        sigma = jax.nn.sigmoid(m_buf[:]) * valid[:, None]
-        packed = jnp.concatenate([sigma * bh_buf[:], sigma], axis=1)
+        valid = ((idx >= lo) & (idx < hi)).astype(jnp.float32)
+        sigma = jax.nn.sigmoid(
+            m_buf[slot].astype(jnp.float32)) * valid[:, None]
+        packed = jnp.concatenate(
+            [sigma * bh_buf[slot].astype(jnp.float32), sigma], axis=1)
         # one-hot dst-within-tile arrives precomputed [TE, TN]; the
         # matmul turns the scatter into an MXU contraction
         acc[:] = acc[:] + jax.lax.dot_general(
-            oh_buf[:], packed, (((0,), (0,)), ((), ())),
+            oh_buf[slot].astype(jnp.float32), packed,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return 0
 
@@ -105,9 +129,13 @@ def _pallas_forward(m: jnp.ndarray, bh: jnp.ndarray, dst: jnp.ndarray,
     # rows are masked by the [lo, hi) row-index test in the kernel
     offsets = ((lo // TE) * TE).astype(jnp.int32)
 
+    # operands stream in their native dtype (bf16 halves DMA traffic);
+    # the MXU accumulator stays f32 via preferred_element_type
+    dtype = m.dtype if m.dtype in (jnp.float32, jnp.bfloat16) \
+        else jnp.float32
     # one-hot dst-within-tile, precomputed in XLA with feature-array
-    # tiling ([E, TN] f32) — 1-D integer DMAs violate Mosaic lane tiling
-    onehot = jax.nn.one_hot(dst % TN, TN, dtype=jnp.float32)
+    # tiling ([E, TN]) — 1-D integer DMAs violate Mosaic lane tiling
+    onehot = jax.nn.one_hot(dst % TN, TN, dtype=dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -120,18 +148,18 @@ def _pallas_forward(m: jnp.ndarray, bh: jnp.ndarray, dst: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (TN, f), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TE, f), jnp.float32),
-            pltpu.VMEM((TE, f), jnp.float32),
-            pltpu.VMEM((TE, TN), jnp.float32),
+            pltpu.VMEM((2, TE, f), dtype),
+            pltpu.VMEM((2, TE, f), dtype),
+            pltpu.VMEM((2, TE, TN), dtype),
             pltpu.VMEM((TN, 2 * f), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     interpret = jax.default_backend() != "tpu"
     # pad one full chunk so the tail DMA never clamps its start
     # (dynamic_slice start-adjustment would misalign the valid mask)
-    m_p = jnp.pad(m.astype(jnp.float32), ((0, TE), (0, 0)))
-    bh_p = jnp.pad(bh.astype(jnp.float32), ((0, TE), (0, 0)))
+    m_p = jnp.pad(m.astype(dtype), ((0, TE), (0, 0)))
+    bh_p = jnp.pad(bh.astype(dtype), ((0, TE), (0, 0)))
     oh_p = jnp.pad(onehot, ((0, TE), (0, 0)))
     return pl.pallas_call(
         _kernel,
@@ -187,6 +215,8 @@ def edge_gated_aggregate_pallas(bh_src: jnp.ndarray, m: jnp.ndarray,
     Takes the *pre-sigmoid* gate logits m (the fused kernel computes
     sigmoid internally).
     """
-    if use_pallas and num_nodes % TN != 0:
+    # kernel constraints: node table tiles by TN, features fill whole
+    # 128-lane tiles (otherwise Mosaic rejects the HBM slices)
+    if use_pallas and (num_nodes % TN != 0 or m.shape[-1] % 128 != 0):
         use_pallas = False
     return gated_aggregate(m, bh_src, dst, num_nodes, use_pallas)

@@ -142,3 +142,25 @@ def test_restart_resume(tmp_path):
         cfg2, tr, va, te,
         restart_state_path=os.path.join(out, "restart.mpk"))
     assert summary["epochs_run"] == 1  # epochs 2..3 -> one more epoch
+
+
+def test_loader_host_sharding():
+    """Multi-host input sharding: disjoint strided slices that cover."""
+    from alignn_tpu.data.dataset import GraphDataset
+    from alignn_tpu.data.loader import BucketedLoader
+
+    records = _property_records(8)
+    from alignn_tpu.data.dataset import records_to_graphs
+
+    graphs = records_to_graphs(records)
+    ds = GraphDataset(graphs=graphs, ids=[r["jid"] for r in records])
+    seen = []
+    for host in range(2):
+        ld = BucketedLoader(ds, batch_size=2, shuffle=True, seed=5,
+                            host_id=host, num_hosts=2)
+        ld.set_epoch(3)
+        ids = [i for b in ld.batch_ids() for i in b]
+        seen.append(set(ids))
+        assert len(ld) == 2
+    assert not (seen[0] & seen[1])
+    assert seen[0] | seen[1] == set(ds.ids)
