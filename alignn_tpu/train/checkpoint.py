@@ -78,107 +78,92 @@ _NORM_MAP = {"weight": "scale", "bias": "bias",
 def _convert_entries(sd: Dict[str, np.ndarray]):
     """Yield (flax_path_tuple, collection, array) per torch entry.
 
-    Reference module naming (models/alignn.py, models/alignn_atomwise.py):
-      atom_embedding.{layer.weight,...}          MLPLayer
-      edge_embedding.{0: RBF (no params), 1..2: MLPLayer}  via Sequential
-      alignn_layers.N.node_update.src_gate.weight   etc.
-      gcn_layers.N.src_gate.weight
-      readout (no params), fc.weight/bias
+    Reference module naming (verified against models/alignn.py:69-76,
+    :176-184 and models/alignn_atomwise.py:151-155):
+      atom_embedding.layer.{0:Linear,1:Norm}.*          MLPLayer
+      edge_embedding.{0:RBF}.{1,2:MLPLayer}.layer.*     via Sequential
+      angle_embedding likewise
+      alignn_layers.N.{node_update,edge_update}.{src_gate,dst_gate,
+        edge_gate,src_update,dst_update}.* and bn_nodes/bn_edges.*
+      gcn_layers.N.<same EGGC fields>
+      fc.weight/bias (+ fc1/fc2/fc3/fc_atomwise/fc_additional_output)
     This framework's tree (nn/models.py):
       embeddings/{atom_embedding,edge_embedding_0,edge_embedding_1,
-                  angle_embedding_0,angle_embedding_1}/linear|norm
-      trunk/{alignn_layers_N/{node_update,edge_update}/...,
-             gcn_layers_N/...}
-      fc / fc1 / fc2 / fc3 / fc_atomwise / fc_additional_output
+                  angle_embedding_0,angle_embedding_1}/{linear,norm}
+      trunk/{alignn_layers_N/{node_update,edge_update},gcn_layers_N}/
+        {src_gate,...,norm_nodes,norm_edges}
     """
-    for key, w in sd.items():
-        parts = key.split(".")
-        arr = np.asarray(w)
-        # strip DDP prefix
-        if parts[0] == "module":
-            parts = parts[1:]
-        head = parts[0]
+    def mlp(dest_prefix, rest, arr):
+        # rest like ['layer', '0', 'weight'] (Linear) or
+        # ['layer', '1', 'running_mean'] (Norm)
+        if len(rest) < 3 or rest[0] != "layer":
+            return None
+        idx, p = rest[1], rest[2]
+        if idx == "0":  # Linear
+            if p == "weight":
+                return dest_prefix + ("linear", "kernel"), "params", arr.T
+            return dest_prefix + ("linear", "bias"), "params", arr
+        if p in ("running_mean", "running_var"):
+            return (dest_prefix + ("norm", _NORM_MAP[p]),
+                    "batch_stats", arr)
+        if p == "num_batches_tracked":
+            return None
+        return dest_prefix + ("norm", _NORM_MAP[p]), "params", arr
 
-        def mlp(dest_prefix, rest):
-            # rest like ['layer','0','weight'] or ['layer','1','weight']
-            # torch MLPLayer = Sequential(Linear, Norm, SiLU)
-            idx = rest[1]
-            p = rest[2]
-            if idx == "0":  # Linear
-                if p == "weight":
-                    return dest_prefix + ("linear", "kernel"), "params", arr.T
-                return dest_prefix + ("linear", "bias"), "params", arr
-            # Norm
+    def eggc(dest_prefix, rest, arr):
+        # rest like ['src_gate', 'weight'] or ['bn_nodes', 'running_var']
+        mod, p = rest[0], rest[-1]
+        if mod in ("src_gate", "dst_gate", "edge_gate", "src_update",
+                   "dst_update"):
+            if p == "weight":
+                return dest_prefix + (mod, "kernel"), "params", arr.T
+            return dest_prefix + (mod, "bias"), "params", arr
+        if mod in ("norm_nodes", "norm_edges", "bn_nodes", "bn_edges"):
+            name = {"bn_nodes": "norm_nodes",
+                    "bn_edges": "norm_edges"}.get(mod, mod)
             if p in ("running_mean", "running_var"):
-                return (dest_prefix + ("norm", _NORM_MAP[p]),
+                return (dest_prefix + (name, _NORM_MAP[p]),
                         "batch_stats", arr)
             if p == "num_batches_tracked":
                 return None
-            return dest_prefix + ("norm", _NORM_MAP[p]), "params", arr
+            return dest_prefix + (name, _NORM_MAP[p]), "params", arr
+        return None
 
-        def eggc(dest_prefix, rest):
-            # rest like ['src_gate','weight'] or ['norm_nodes','weight']
-            mod, p = rest[0], rest[-1]
-            if mod in ("src_gate", "dst_gate", "edge_gate", "src_update",
-                       "dst_update"):
-                if p == "weight":
-                    return (dest_prefix + (mod, "kernel"), "params", arr.T)
-                return dest_prefix + (mod, "bias"), "params", arr
-            if mod in ("norm_nodes", "norm_edges", "bn_nodes", "bn_edges"):
-                name = {"bn_nodes": "norm_nodes",
-                        "bn_edges": "norm_edges"}.get(mod, mod)
-                if p in ("running_mean", "running_var"):
-                    return (dest_prefix + (name, _NORM_MAP[p]),
-                            "batch_stats", arr)
-                if p == "num_batches_tracked":
-                    return None
-                return dest_prefix + (name, _NORM_MAP[p]), "params", arr
-            return None
+    for key, w in sd.items():
+        parts = key.split(".")
+        arr = np.asarray(w)
+        if parts[0] == "module":  # strip DDP prefix
+            parts = parts[1:]
+        head = parts[0]
 
+        out = None
         if head == "atom_embedding":
-            yield mlp(("embeddings", "atom_embedding"), parts)
-            continue
-        if head in ("edge_embedding", "angle_embedding"):
+            out = mlp(("embeddings", "atom_embedding"), parts[1:], arr)
+        elif head in ("edge_embedding", "angle_embedding"):
             # Sequential(RBF, MLPLayer, MLPLayer): indices 1, 2
             seq_idx = parts[1]
-            if seq_idx == "0":
-                continue  # RBF has no params
-            dest = ("embeddings", f"{head}_{int(seq_idx) - 1}")
-            out = mlp(dest, parts[1:])
-            if out:
-                yield out
-            continue
-        if head == "extra_feature_embedding":
-            out = mlp(("extra_feature_embedding",), parts)
-            if out:
-                yield out
-            continue
-        if head == "alignn_layers":
+            if seq_idx != "0":  # RBF has no params
+                dest = ("embeddings", f"{head}_{int(seq_idx) - 1}")
+                out = mlp(dest, parts[2:], arr)
+        elif head == "extra_feature_embedding":
+            out = mlp(("extra_feature_embedding",), parts[1:], arr)
+        elif head == "alignn_layers":
             n, sub = parts[1], parts[2]
-            dest = ("trunk", f"alignn_layers_{n}", sub)
-            out = eggc(dest, parts[3:])
-            if out:
-                yield out
-            continue
-        if head == "gcn_layers":
-            n = parts[1]
-            dest = ("trunk", f"gcn_layers_{n}")
-            out = eggc(dest, parts[2:])
-            if out:
-                yield out
-            continue
-        if head in ("fc", "fc1", "fc2", "fc3", "fc_atomwise",
-                    "fc_additional_output"):
-            if len(parts) >= 3 and parts[1].isdigit():
-                # fc as Sequential(Linear, ...) in some variants
-                p = parts[2]
-            else:
-                p = parts[1]
+            out = eggc(("trunk", f"alignn_layers_{n}", sub),
+                       parts[3:], arr)
+        elif head == "gcn_layers":
+            out = eggc(("trunk", f"gcn_layers_{parts[1]}"),
+                       parts[2:], arr)
+        elif head in ("fc", "fc1", "fc2", "fc3", "fc_atomwise",
+                      "fc_additional_output"):
+            p = parts[2] if len(parts) >= 3 and parts[1].isdigit() \
+                else parts[1]
             if p == "weight":
-                yield (head, "kernel"), "params", arr.T
+                out = (head, "kernel"), "params", arr.T
             elif p == "bias":
-                yield (head, "bias"), "params", arr
-            continue
+                out = (head, "bias"), "params", arr
+        if out is not None:
+            yield out
         # unknown entries are skipped (e.g. link params absent here)
 
 

@@ -52,6 +52,7 @@ def build_batch(batch_size=32, seed=0):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
     from alignn_tpu.train.optim import build_optimizer
@@ -62,7 +63,14 @@ def main():
         hidden_features=256, embedding_features=64,
         gradwise_weight=10.0, stresswise_weight=0.1,
         graphwise_weight=1.0)
-    model = ALIGNNAtomWise(cfg=cfg)
+    # mixed precision: bf16 matmul/stream dtype, f32 params + f32 MXU
+    # accumulation.  Training-loss trajectories match f32 step-for-step
+    # on this workload (BENCH_NOTES.md); set ALIGNN_TPU_BENCH_F32=1 to
+    # measure the full-f32 path.
+    import os
+
+    dtype = None if os.environ.get("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
+    model = ALIGNNAtomWise(cfg=cfg, dtype=dtype)
     batch = build_batch(batch_size=32)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
@@ -74,7 +82,7 @@ def main():
     state, losses = step(state, batch)
     jax.block_until_ready(losses["loss"])
 
-    iters = 20
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = step(state, batch)
