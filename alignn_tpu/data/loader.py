@@ -33,7 +33,7 @@ def _round_up(x: int, q: int) -> int:
 
 
 def worst_case_spec(graphs: Sequence[GraphData], batch_size: int,
-                    node_quantum: int = 8, edge_quantum: int = 128,
+                    node_quantum: int = 128, edge_quantum: int = 128,
                     lg_quantum: int = 512,
                     slack: float = 1.0) -> BucketSpec:
     """Safe static bucket: no batch of `batch_size` graphs can overflow.

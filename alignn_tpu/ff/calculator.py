@@ -112,7 +112,7 @@ class Calculator:
     def _spec_for(self, g) -> BucketSpec:
         s = self.bucket_slack
         return BucketSpec(
-            n_nodes=_round_up(int(g.num_nodes * s) + 1, 8),
+            n_nodes=_round_up(int(g.num_nodes * s) + 1, 128),
             n_edges=_round_up(int(g.num_edges * s) + 1, 128),
             n_lg_edges=_round_up(int(g.num_lg_edges * s) + 1, 512),
             n_graphs=2,

@@ -95,7 +95,7 @@ class BucketSpec:
 
     @staticmethod
     def for_graphs(graphs: Sequence[GraphData], batch_size: int,
-                   node_quantum: int = 8, edge_quantum: int = 128,
+                   node_quantum: int = 128, edge_quantum: int = 128,
                    lg_quantum: int = 512, slack: float = 1.0) -> "BucketSpec":
         """One static bucket covering every batch of `batch_size` graphs.
 
@@ -117,7 +117,7 @@ class BucketSpec:
 
     @staticmethod
     def tight_for_batch(graphs: Sequence[GraphData],
-                        node_quantum: int = 8, edge_quantum: int = 128,
+                        node_quantum: int = 128, edge_quantum: int = 128,
                         lg_quantum: int = 512) -> "BucketSpec":
         """Bucket sized for exactly this batch (bounded recompiles)."""
         return BucketSpec(

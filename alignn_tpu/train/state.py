@@ -57,14 +57,20 @@ def create_train_state(model, sample_batch: GraphBatch, tx,
     from alignn_tpu.nn.ealignn import eALIGNNAtomWise
 
     rng = jax.random.PRNGKey(seed)
+    # jit the init: eager initialization issues hundreds of small
+    # per-op compiles (minutes through a remote TPU compile service);
+    # under jit it is ONE compile.
     if isinstance(model, eALIGNNAtomWise):
-        variables = model.init(rng, sample_batch,
-                               sample_batch.frac_coords, train=False)
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, b.frac_coords, train=False))(
+            rng, sample_batch)
     elif isinstance(model, ALIGNNAtomWise):
-        variables = model.init(rng, sample_batch, sample_batch.r,
-                               train=False)
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, b.r, train=False))(
+            rng, sample_batch)
     else:
-        variables = model.init(rng, sample_batch, train=False)
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, train=False))(rng, sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     return TrainState(

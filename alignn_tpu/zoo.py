@@ -101,11 +101,17 @@ def load_model_dir(model_dir: str):
     batch = batch_graphs([g], BucketSpec.tight_for_batch([g]),
                          atom_features="cgcnn")
     rng = jax.random.PRNGKey(0)
-    if isinstance(model, ALIGNNAtomWise) or \
-            getattr(model_cfg, "name", "") == "ealignn_atomwise":
-        variables = model.init(rng, batch, batch.r, train=False)
+    # jitted init: one compile instead of hundreds of eager op compiles
+    if getattr(model_cfg, "name", "") == "ealignn_atomwise":
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, b.frac_coords, train=False))(
+            rng, batch)
+    elif isinstance(model, ALIGNNAtomWise):
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, b.r, train=False))(rng, batch)
     else:
-        variables = model.init(rng, batch, train=False)
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, train=False))(rng, batch)
 
     mpk = _find(model_dir, ["best_model.mpk", "last_model.mpk",
                             "current_model.mpk", ".mpk"])
