@@ -56,7 +56,7 @@ class Calculator:
                  variables=None, config: Optional[Dict[str, Any]] = None,
                  intensive: bool = True, force_multiplier: float = 1.0,
                  force_mult_natoms: bool = False, stress_wt: float = 1.0,
-                 bucket_slack: float = 1.3):
+                 bucket_slack: float = 1.3, skin: float = 0.3):
         if model is None:
             from alignn_tpu.zoo import load_model_dir
 
@@ -75,6 +75,16 @@ class Calculator:
         self._fn = None
         self._cache_key = None
         self._results: Optional[Dict[str, np.ndarray]] = None
+        # skin-radius neighbor-list reuse: the graph is built with
+        # cutoff+skin; as long as no atom moved more than skin/2 since
+        # the last build, the edge index set is still valid and only the
+        # displacement vectors r are recomputed (classic Verlet-list
+        # optimization; the reference rebuilds the DGL graph every MD
+        # step, ff/calculators.py:284-291)
+        self.skin = float(skin)
+        self._nl_graph = None          # cached GraphData (index arrays)
+        self._nl_cart0 = None          # positions at build time
+        self._nl_lat0 = None
 
         self.neighbor_strategy = self.config.get(
             "neighbor_strategy", "radius_graph")
@@ -120,11 +130,89 @@ class Calculator:
 
     # -- calculation --------------------------------------------------------
 
-    def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:
-        g = build_graph(
+    def _graph_for(self, atoms: Atoms):
+        """Graph via skin-radius (Verlet-list) reuse.
+
+        Radius strategies only: the neighbor candidate set is built once
+        with cutoff+skin; while no atom has moved skin/2 since that
+        build, the candidate indices are reused — recompute r, keep the
+        edges whose current length is within the true cutoff, rebuild
+        the (cheap, vectorized) line-graph indices.  Exactly the edge
+        set a fresh search would produce.  k-nearest rebuilds every call
+        (its edge set depends on distance ORDER, not a fixed radius).
+        """
+        use_skin = self.skin > 0 and \
+            self.neighbor_strategy.startswith("radius")
+        cart = atoms.cart_coords
+        if (use_skin and self._nl_graph is not None
+                and self._nl_cart0 is not None
+                and self._nl_cart0.shape == cart.shape
+                and np.array_equal(self._nl_graph.z,
+                                   atoms.atomic_numbers)
+                and np.allclose(self._nl_lat0, atoms.lattice_mat,
+                                atol=1e-12)):
+            disp = np.linalg.norm(cart - self._nl_cart0, axis=1)
+            if disp.max() < self.skin / 2:
+                from alignn_tpu.graph.build import line_graph_edges
+
+                gc = self._nl_graph  # candidate set (cutoff + skin)
+                img_cart = gc.images @ atoms.lattice_mat
+                r = cart[gc.dst] + img_cart - cart[gc.src]
+                keep = np.linalg.norm(r, axis=1) <= self.cutoff
+                src, dst = gc.src[keep], gc.dst[keep]
+                covered = np.zeros(atoms.num_atoms, dtype=bool)
+                covered[src] = True
+                covered[dst] = True
+                if covered.all() and keep.any():
+                    lg_src, lg_dst = line_graph_edges(
+                        src, dst, atoms.num_atoms)
+                    from alignn_tpu.graph.build import GraphData
+
+                    return GraphData(
+                        z=gc.z, frac_coords=atoms.frac_coords.astype(
+                            np.float64),
+                        lattice=atoms.lattice_mat.astype(np.float64),
+                        volume=atoms.volume, src=src, dst=dst,
+                        r=r[keep], images=gc.images[keep],
+                        lg_src=lg_src, lg_dst=lg_dst)
+                # isolated atom after filtering: a fresh build would
+                # auto-extend the cutoff — fall through to full rebuild
+        if not use_skin:
+            return build_graph(
+                atoms, neighbor_strategy=self.neighbor_strategy,
+                cutoff=self.cutoff, max_neighbors=self.max_neighbors,
+                use_canonize=self.use_canonize)
+        gc = build_graph(
             atoms, neighbor_strategy=self.neighbor_strategy,
-            cutoff=self.cutoff, max_neighbors=self.max_neighbors,
-            use_canonize=self.use_canonize)
+            cutoff=self.cutoff + self.skin,
+            max_neighbors=self.max_neighbors,
+            use_canonize=self.use_canonize, compute_line_graph=False)
+        self._nl_graph = gc
+        self._nl_cart0 = cart.copy()
+        self._nl_lat0 = atoms.lattice_mat.copy()
+        # first evaluation: filter the candidate set to the true cutoff
+        from alignn_tpu.graph.build import GraphData, line_graph_edges
+
+        keep = np.linalg.norm(gc.r, axis=1) <= self.cutoff
+        src, dst = gc.src[keep], gc.dst[keep]
+        covered = np.zeros(atoms.num_atoms, dtype=bool)
+        covered[src] = True
+        covered[dst] = True
+        if not covered.all() or not keep.any():
+            # fresh build would auto-extend its cutoff; don't cache
+            self._nl_graph = None
+            return build_graph(
+                atoms, neighbor_strategy=self.neighbor_strategy,
+                cutoff=self.cutoff, max_neighbors=self.max_neighbors,
+                use_canonize=self.use_canonize)
+        lg_src, lg_dst = line_graph_edges(src, dst, atoms.num_atoms)
+        return GraphData(
+            z=gc.z, frac_coords=gc.frac_coords, lattice=gc.lattice,
+            volume=gc.volume, src=src, dst=dst, r=gc.r[keep],
+            images=gc.images[keep], lg_src=lg_src, lg_dst=lg_dst)
+
+    def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:
+        g = self._graph_for(atoms)
         if (self._spec is None
                 or g.num_nodes >= self._spec.n_nodes
                 or g.num_edges >= self._spec.n_edges

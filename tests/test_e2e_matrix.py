@@ -134,3 +134,47 @@ def test_additional_output_folder(tmp_path):
                         additional_output_key="dos",
                         output_dir=out)
     assert np.isfinite(s["best_val_loss"])
+
+
+def test_extra_features_folder(tmp_path):
+    """Gong et al. extra-features path (sample_data_ff_feats, 6 extras)."""
+    root = "/root/reference/alignn/examples/sample_data_ff_feats"
+    out = str(tmp_path / "out")
+    model = dict(SMALL_FF, extra_features=6, gradwise_weight=3.0,
+                 stresswise_weight=0.0)
+    cfgp = _config(tmp_path, model, neighbor_strategy="radius_graph",
+                   cutoff=4.0, n_train=4, n_val=2, n_test=2, batch_size=2)
+    s = train_for_folder(root_dir=root, config_name=cfgp,
+                        target_key="total_energy", output_dir=out)
+    assert np.isfinite(s["best_val_loss"])
+
+
+def test_gcn_only_model(tmp_path):
+    """alignn_layers=0: pure GCN stack, no line-graph compute needed."""
+    root = _mini_folder(tmp_path)
+    out = str(tmp_path / "out")
+    model = dict(SMALL_PROP, alignn_layers=0)
+    s = train_for_folder(root_dir=root,
+                         config_name=_config(tmp_path, model),
+                         output_dir=out)
+    assert np.isfinite(s["best_val_loss"])
+
+
+def test_predict_with_local_model(tmp_path):
+    """zoo.load_model_dir + predict_structures on a trained output dir."""
+    root = _mini_folder(tmp_path)
+    out = str(tmp_path / "out")
+    train_for_folder(root_dir=root, config_name=_config(tmp_path,
+                                                        SMALL_PROP),
+                     output_dir=out)
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.zoo import load_model_dir, predict_structures
+
+    model, variables, cfgd = load_model_dir(out)
+    atoms = Atoms(lattice_mat=np.eye(3) * 4,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    pred = predict_structures(model, variables, [atoms, atoms])
+    assert pred.shape[0] == 2
+    assert np.isfinite(pred).all()
+    np.testing.assert_allclose(pred[0], pred[1], rtol=1e-5)

@@ -160,3 +160,44 @@ def test_remove_net_torque():
     com = np.asarray(cart).mean(axis=0)
     tau = np.cross(np.asarray(cart) - com, np.asarray(adj)).sum(axis=0)
     assert np.allclose(tau, 0, atol=1e-6)
+
+
+def test_skin_neighbor_list_reuse(nacl):
+    """Verlet-list reuse: identical results to fresh builds, fewer
+    neighbor searches."""
+    import jax
+
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8, gradwise_weight=1.0,
+        stresswise_weight=0.1)
+    model = ALIGNNAtomWise(cfg=cfg)
+    g = build_graph(nacl, neighbor_strategy="radius_graph", cutoff=5.0)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    common = dict(model=model, variables=variables,
+                  config={"neighbor_strategy": "radius_graph",
+                          "cutoff": 5.0})
+    calc_fresh = Calculator(skin=0.0, **common)
+    calc_skin = Calculator(skin=0.5, **common)
+
+    a = nacl
+    rng = np.random.default_rng(0)
+    for step in range(4):
+        e0 = calc_fresh.get_potential_energy(a)
+        e1 = calc_skin.get_potential_energy(a)
+        assert e1 == pytest.approx(e0, rel=1e-5), step
+        f0 = calc_fresh.get_forces(a)
+        f1 = calc_skin.get_forces(a)
+        np.testing.assert_allclose(f1, f0, rtol=1e-4, atol=1e-6)
+        # small MD-like displacement (well under skin/2)
+        a = a.with_positions(
+            cart_coords=a.cart_coords
+            + 0.02 * rng.standard_normal((a.num_atoms, 3)))
+    # the skin calculator must have reused its candidate list
+    assert calc_skin._nl_graph is not None
