@@ -22,11 +22,23 @@ import numpy as np
 from flax import core, serialization, traverse_util
 
 
+def _fetch(tree):
+    """One batched device->host transfer for a whole pytree.
+
+    serialization would otherwise np.asarray leaves one at a time —
+    hundreds of round-trips through a remote-device tunnel.
+    """
+    import jax
+
+    return jax.device_get(tree)
+
+
 def save_params(path: str, params, batch_stats=None):
     """Weights-only checkpoint (distribution format)."""
-    payload = {"params": serialization.to_state_dict(params)}
+    payload = {"params": serialization.to_state_dict(_fetch(params))}
     if batch_stats:
-        payload["batch_stats"] = serialization.to_state_dict(batch_stats)
+        payload["batch_stats"] = serialization.to_state_dict(
+            _fetch(batch_stats))
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
 
@@ -41,9 +53,10 @@ def save_train_state(path: str, state, epoch: int,
                      extra: Optional[Dict[str, Any]] = None):
     """Full-state checkpoint (params + opt state + counters)."""
     payload = {
-        "params": serialization.to_state_dict(state.params),
-        "batch_stats": serialization.to_state_dict(state.batch_stats),
-        "opt_state": serialization.to_state_dict(state.opt_state),
+        "params": serialization.to_state_dict(_fetch(state.params)),
+        "batch_stats": serialization.to_state_dict(
+            _fetch(state.batch_stats)),
+        "opt_state": serialization.to_state_dict(_fetch(state.opt_state)),
         "step": int(state.step),
         "epoch": int(epoch),
         "extra": extra or {},

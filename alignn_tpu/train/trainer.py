@@ -169,7 +169,10 @@ def train_model(
         n_batches = 0
         for batch in train_loader:
             state, losses = train_step(state, batch)
-            metrics_acc.append({k: float(_np(v)) for k, v in losses.items()})
+            # single batched device->host fetch per step (scalar-by-
+            # scalar fetches cost a round-trip each on remote devices)
+            fetched = jax.device_get(losses)
+            metrics_acc.append({k: float(v) for k, v in fetched.items()})
             n_batches += 1
         train_metrics = _mean_metrics(metrics_acc)
         ep_time = time.time() - ep_start
@@ -178,7 +181,8 @@ def train_model(
         val_acc = []
         for batch in val_loader:
             losses, _res = eval_step(state, batch)
-            val_acc.append({k: float(_np(v)) for k, v in losses.items()})
+            fetched = jax.device_get(losses)
+            val_acc.append({k: float(v) for k, v in fetched.items()})
         val_metrics = _mean_metrics(val_acc)
 
         history_train.append([train_metrics.get(k, 0.0) for k in
