@@ -272,11 +272,13 @@ def get_train_val_loaders(
     train_loader = BucketedLoader(
         train_ds, batch_size, shuffle=True, drop_last=True,
         num_shards=num_shards, **shared_kwargs)
-    # val/test share the train bucket when possible so the jitted eval
-    # step reuses the training compile (val drop_last=True parity,
-    # reference data.py:467-477)
+    # val drop_last=True parity (reference data.py:467-477) — except when
+    # that would empty the val set entirely (n_val < batch_size), where
+    # the reference would silently validate on nothing; keep the partial
+    # batch instead.
+    val_drop_last = len(val_ds) >= batch_size
     val_loader = BucketedLoader(
-        val_ds, batch_size, shuffle=False, drop_last=False,
+        val_ds, batch_size, shuffle=False, drop_last=val_drop_last,
         spec=None, num_shards=1, **shared_kwargs)
     test_loader = BucketedLoader(
         test_ds, 1, shuffle=False, drop_last=False, spec=None,

@@ -110,6 +110,11 @@ def _kernel(off_ref, lo_ref, hi_ref,     # scalar prefetch [num_tiles]
     jax.lax.fori_loop(0, num_chunks, body, 0)
     num = acc[:, :f]
     den = acc[:, f:]
+    # NOTE: den is a free by-product, but it cannot be returned as a
+    # VJP residual — custom_vjp residuals must be differentiable
+    # functions of the primals for the grad-of-grad force training to
+    # stay correct, and an aux pallas output has no derivative rule.
+    # The backward recomputes den with a differentiable segment_sum.
     h_ref[:] = (num / (den + EPS)).astype(h_ref.dtype)
 
 

@@ -297,6 +297,31 @@ def train_model(
                                     if len(info["predictions"]) == 1
                                     else info["predictions"]])
 
+    # train-set prediction dump (reference train.py:838-846)
+    if config.write_predictions and len(train_loader) and \
+            not classification and train_loader.num_shards == 1:
+        train_loader.set_epoch(0)
+        ids_per_batch = train_loader.batch_ids()
+        rows = []
+        for bi, batch in enumerate(train_loader):
+            _losses, res = eval_step(state, batch)
+            out = _np(res["out"])
+            gm = _np(batch.graph_mask)
+            tg = _np(batch.target)
+            for gi in range(out.shape[0]):
+                if gm[gi] < 0.5 or gi >= len(ids_per_batch[bi]):
+                    continue
+                rows.append([ids_per_batch[bi][gi],
+                             float(np.atleast_1d(tg[gi])[0]),
+                             float(np.atleast_1d(out[gi])[0])])
+        if rows:
+            with open(os.path.join(
+                    output_dir, "prediction_results_train_set.csv"),
+                    "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["id", "target", "prediction"])
+                w.writerows(rows)
+
     if config.write_checkpoint:
         save_params(os.path.join(output_dir, "last_model.mpk"),
                     state.params, state.batch_stats)
