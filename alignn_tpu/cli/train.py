@@ -112,7 +112,9 @@ def train_for_folder(
         standard_scalar_and_pca=config.standard_scalar_and_pca,
         output_dir=config.output_dir,
         num_workers=config.num_workers,
-        num_shards=devices if devices > 1 else 1,
+        num_shards=(max(devices //
+                        int((config.mesh_shape or {}).get("graph", 1)),
+                        1) if devices > 1 else 1),
         target_width=target_width,
         atomwise_width=atomwise_width,
         additional_width=additional_width,

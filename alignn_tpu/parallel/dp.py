@@ -69,11 +69,50 @@ def train_model_dp(config, train_loader, val_loader, test_loader=None,
                    restart_params_path: Optional[str] = None):
     """Data-parallel variant of :func:`alignn_tpu.train.trainer.train_model`.
 
-    Reuses the single-device trainer loop but swaps in the shard_map step;
-    the train loader must be built with `num_shards=n_devices`.
+    Reuses the single-device trainer loop but swaps in the shard_map
+    step; the train loader must be built with `num_shards=<data size>`.
+    With ``config.mesh_shape == {"data": D, "graph": G}`` (G > 1) the
+    combined 2-D step of :mod:`alignn_tpu.parallel.dp_gp` is used: each
+    data row additionally edge-partitions its micro-batch over G chips.
     """
     from alignn_tpu.parallel.mesh import make_mesh
     from alignn_tpu.train import trainer as _trainer
+
+    mesh_shape = getattr(config, "mesh_shape", None) or {}
+    g_size = int(mesh_shape.get("graph", 1))
+    d_size = int(mesh_shape.get("data",
+                                (n_devices or len(jax.devices())) //
+                                max(g_size, 1)))
+    if g_size > 1:
+        from alignn_tpu.parallel.dp_gp import (
+            DATA_AXIS,
+            GRAPH_AXIS,
+            make_dp_gp_train_step,
+        )
+
+        mesh = make_mesh(d_size * g_size, axis_names=(DATA_AXIS,
+                                                      GRAPH_AXIS),
+                         shape=(d_size, g_size))
+        if train_loader.num_shards != d_size:
+            raise ValueError(
+                f"train loader num_shards={train_loader.num_shards} != "
+                f"data mesh size {d_size}")
+
+        def step_factory(model, criterion, classification, donate):
+            from alignn_tpu.nn.models import ALIGNNAtomWise
+
+            if not isinstance(model, ALIGNNAtomWise):
+                raise ValueError(
+                    "graph-axis parallelism requires an atomwise model "
+                    "(the property model has no edge-partitioned step)")
+            return make_dp_gp_train_step(model.cfg, mesh,
+                                         classification=classification,
+                                         donate=donate)
+
+        return _trainer.train_model(
+            config, train_loader, val_loader, test_loader,
+            restart_params_path=restart_params_path,
+            train_step_factory=step_factory)
 
     mesh = make_mesh(n_devices)
     n = mesh.devices.size

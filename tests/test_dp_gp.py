@@ -91,3 +91,42 @@ def test_dp_gp_matches_averaged_single_device(problem):
                                    rtol=2e-3, atol=2e-6)
     ref_loss = (float(l1["loss"]) + float(l2["loss"])) / 2
     assert float(losses["loss"]) == pytest.approx(ref_loss, rel=2e-4)
+
+
+def test_trainer_with_2d_mesh(tmp_path, problem):
+    """train_model_dp honors config.mesh_shape={'data':2,'graph':2}."""
+    from alignn_tpu.config import TrainingConfig
+    from alignn_tpu.data.dataset import GraphDataset
+    from alignn_tpu.data.loader import BucketedLoader
+    from alignn_tpu.parallel.dp import train_model_dp
+
+    model, _state, micro = problem
+    # rebuild a dataset of graphs from the fixture's micro batches is
+    # awkward; construct fresh graphs instead
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    graphs, ids = [], []
+    for i in range(8):
+        atoms = Atoms(
+            lattice_mat=np.eye(3) * (4.0 + 0.05 * i),
+            frac_coords=np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+            + 0.01 * rng.standard_normal((2, 3)),
+            elements=["Na", "Cl"])
+        g = build_graph(atoms, cutoff=6.0, max_neighbors=12)
+        g.target = np.array([rng.standard_normal()])
+        g.forces = rng.standard_normal((2, 3)) * 0.05
+        g.stress = np.eye(3) * 0.01
+        graphs.append(g)
+        ids.append(f"s{i}")
+    ds = GraphDataset(graphs=graphs, ids=ids)
+    tr = BucketedLoader(ds, batch_size=2, shuffle=True, num_shards=2)
+    va = BucketedLoader(ds, batch_size=2, shuffle=False)
+    cfg = TrainingConfig(
+        epochs=2, batch_size=2, output_dir=str(tmp_path),
+        learning_rate=1e-3, mesh_shape={"data": 2, "graph": 2},
+        model=model.cfg)
+    summary = train_model_dp(cfg, tr, va, n_devices=4)
+    assert np.isfinite(summary["best_val_loss"])
