@@ -71,7 +71,9 @@ def main():
 
     dtype = None if os.environ.get("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
     model = ALIGNNAtomWise(cfg=cfg, dtype=dtype)
-    batch = build_batch(batch_size=32)
+    # batch 128 saturates the chip (batch-size sweep in BENCH_NOTES.md:
+    # 32 -> 13M, 64 -> 29M, 128 -> 51M, 256 -> 44M edges/s)
+    batch = build_batch(batch_size=128)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
     step = make_train_step(model, criterion="l1", donate=False)
