@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
+# jax.shard_map (0.8+) renamed check_rep; stay on the experimental
+# entry point whose signature we pin (check_rep=False)
 from jax.experimental.shard_map import shard_map
 
 from alignn_tpu.train.losses import atomwise_loss, property_loss

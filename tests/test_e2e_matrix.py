@@ -178,3 +178,30 @@ def test_predict_with_local_model(tmp_path):
     assert pred.shape[0] == 2
     assert np.isfinite(pred).all()
     np.testing.assert_allclose(pred[0], pred[1], rtol=1e-5)
+
+
+def test_molecular_xyz_folder(tmp_path):
+    """Open-boundary molecules (QM9-style): xyz input, radius graph."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "mols"
+    d.mkdir()
+    rows = []
+    for i in range(8):
+        # perturbed water molecule
+        pos = np.array([[0.0, 0.0, 0.0], [0.96, 0.0, 0.0],
+                        [-0.24, 0.93, 0.0]]) + \
+            0.05 * rng.standard_normal((3, 3))
+        name = f"mol{i}.xyz"
+        with open(d / name, "w") as f:
+            f.write("3\nwater\n")
+            for el, p in zip("OHH", pos):
+                f.write(f"{el} {p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+        rows.append([name, f"{rng.standard_normal():.4f}"])
+    with open(d / "id_prop.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    out = str(tmp_path / "out")
+    cfgp = _config(tmp_path, SMALL_PROP, neighbor_strategy="radius_graph",
+                   cutoff=3.0, n_train=4, n_val=2, n_test=2, batch_size=2)
+    s = train_for_folder(root_dir=str(d), config_name=cfgp,
+                        file_format="xyz", output_dir=out)
+    assert np.isfinite(s["best_val_loss"])
