@@ -120,6 +120,33 @@ def get_node_attributes(symbol: str, atom_features: str = "cgcnn") -> list:
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
+def _override_table(atom_features: str):
+    """Optional drop-in replacement table for exact jarvis parity.
+
+    If ``<package>/chem/tables/<name>.json`` exists (schema:
+    {"Si": [..F floats..], ...} or {"14": [...]}), it wins over the
+    built-in featurization — the path to byte-exact parity with
+    checkpoints trained on jarvis's tables, without code changes.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tables", f"{atom_features}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    size = FEATURESET_SIZE[atom_features]
+    table = np.zeros((pt.MAX_Z + 1, size), dtype=np.float32)
+    for key, vec in data.items():
+        z = int(key) if key.isdigit() else pt.Z_FROM_SYMBOL.get(key, 0)
+        if 1 <= z <= pt.MAX_Z:
+            table[z] = np.asarray(vec, dtype=np.float32)[:size]
+    return table
+
+
 def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
     """[MAX_Z+1, F] lookup table indexed by atomic number.
 
@@ -127,6 +154,9 @@ def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
     (`alignn/graphs.py:1003-1020`) — used so batched featurization is a
     single gather on device.
     """
+    override = _override_table(atom_features)
+    if override is not None:
+        return override
     size = FEATURESET_SIZE[atom_features]
     table = np.zeros((pt.MAX_Z + 1, size), dtype=np.float32)
     for z in range(1, pt.MAX_Z + 1):
