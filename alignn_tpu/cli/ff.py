@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize_lattice", action="store_true", default=True)
     p.add_argument("--no_optimize_lattice", dest="optimize_lattice",
                    action="store_false")
+    p.add_argument("--on_device_md", action="store_true",
+                   help="run nve/nvt_langevin as on-device lax.scan "
+                        "chunks (fast path for long trajectories)")
+    p.add_argument("--chunk_steps", default=50, type=int)
     p.add_argument("--supercell", default="2,2,2")
     p.add_argument("--miller", default="1,1,1")
     p.add_argument("--output_dir", default=".")
@@ -60,6 +64,16 @@ def main(argv=None):
         print(json.dumps({"energy": e, "atoms": a.to_dict()}))
     elif task in ("nve", "nvt_langevin", "nvt_andersen", "nvt_berendsen",
                   "npt_berendsen", "npt_nose_hoover"):
+        if args.on_device_md and task in ("nve", "nvt_langevin"):
+            kw = dict(steps=args.md_steps, timestep_fs=args.timestep_fs,
+                      chunk_steps=args.chunk_steps)
+            if task == "nve":
+                kw["initial_temperature_K"] = args.temperature_K
+            else:
+                kw["temperature_K"] = args.temperature_K
+            _a, log = ff.run_md_on_device(ensemble=task, **kw)
+            print(json.dumps(log.rows[-1]))
+            return
         method = {"nve": ff.run_nve_velocity_verlet}.get(
             task, getattr(ff, f"run_{task}", None))
         kw = dict(steps=args.md_steps, timestep_fs=args.timestep_fs)

@@ -99,6 +99,25 @@ class ForceField:
                         temperature_K=temperature_K,
                         pressure_GPa=pressure_GPa, **kw)
 
+    def run_md_on_device(self, ensemble: str = "nve", steps: int = 1000,
+                         timestep_fs: float = 1.0, chunk_steps: int = 50,
+                         **kw):
+        """On-device `lax.scan` MD (alignn_tpu.ff.md_jit) — the TPU-native
+        fast path; ~15x the host loop in steady state (BENCH_NOTES.md)."""
+        from alignn_tpu.ff.md_jit import run_md_jit
+
+        atoms, log = run_md_jit(
+            self.calc.model, self.calc.variables, self.atoms,
+            steps=steps, timestep_fs=timestep_fs, ensemble=ensemble,
+            cutoff=self.calc.cutoff,
+            max_neighbors=self.calc.max_neighbors,
+            neighbor_strategy=self.calc.neighbor_strategy,
+            chunk_steps=chunk_steps, **kw)
+        for row in log.rows:
+            self._log(json.dumps({"ensemble": f"{ensemble}_jit", **row}))
+        self.atoms = atoms
+        return atoms, log
+
     def _md(self, ensemble, steps, timestep_fs, **kw):
         traj: list = []
         state, log = run_md(self.calc, self.atoms, ensemble=ensemble,
