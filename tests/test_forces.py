@@ -192,3 +192,73 @@ def test_include_pos_deriv_matches_scatter_path():
     n_total = float(np.asarray(batch.n_nodes).sum())
     np.testing.assert_allclose(f_pos, f_scatter * n_total, rtol=5e-3,
                                atol=2e-7)
+
+
+def test_virial_stress_matches_strain_finite_difference():
+    """Virial identity: dE/d(eps_ab) == sum_e r_a dE/dr_b (FD check).
+
+    Validates the stress head's physics (models/alignn_atomwise
+    reference :614-638 formula -160.2177 (r^T pf)/V): straining the
+    cell + positions must change the energy by the virial predicted
+    from dE/dr.  Float64 FD with central differences.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.nn.models import (
+        ALIGNNAtomWise,
+        ALIGNNAtomWiseConfig,
+        compute_cartesian_r,
+    )
+
+    atoms = Atoms(lattice_mat=np.eye(3) * 4.2,
+                  frac_coords=np.array([[0.02, 0.0, 0.01],
+                                        [0.52, 0.49, 0.5]]),
+                  elements=["Na", "Cl"])
+    g = build_graph(atoms, neighbor_strategy="radius_graph", cutoff=5.0)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8, gradwise_weight=1.0,
+        stresswise_weight=0.1, use_penalty=True)
+    model = ALIGNNAtomWise(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+
+    lat0 = np.asarray(batch.lattice).copy()
+
+    def energy_under_strain(eps: np.ndarray) -> float:
+        strained = batch.replace(
+            lattice=np.asarray(
+                lat0 @ (np.eye(3) + eps)[None].astype(lat0.dtype)))
+        r = compute_cartesian_r(strained)
+        res = model.apply(variables, strained, r, train=False)
+        return float(np.asarray(
+            jnp.sum(res["en_out"] * strained.graph_mask)))
+
+    # analytic virial from dE/dr at eps=0
+    def efn(r):
+        res = model.apply(variables, batch, r, train=False)
+        return jnp.sum(res["en_out"] * batch.graph_mask)
+
+    r0 = compute_cartesian_r(batch)
+    g_r = np.asarray(jax.grad(efn)(r0))
+    r0 = np.asarray(r0)
+    em = np.asarray(batch.edge_mask) > 0.5
+    virial = (r0[em, :, None] * g_r[em, None, :]).sum(axis=0)  # [3,3]
+
+    h = 1e-4
+    for a in range(3):
+        for b in range(3):
+            eps = np.zeros((3, 3))
+            eps[a, b] = h
+            e_plus = energy_under_strain(eps)
+            eps[a, b] = -h
+            e_minus = energy_under_strain(eps)
+            fd = (e_plus - e_minus) / (2 * h)
+            # dE/deps_ab = sum_e r_a * dE/dr_b
+            assert fd == pytest.approx(virial[a, b], rel=2e-2,
+                                       abs=2e-3), (a, b, fd,
+                                                   virial[a, b])
