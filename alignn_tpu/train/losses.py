@@ -70,6 +70,19 @@ CRITERIA = {"l1": l1_loss, "mse": mse_loss, "poisson": poisson_loss,
             "zig": zig_loss}
 
 
+def _sanitize(pred: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero padded rows BEFORE any nonlinearity.
+
+    The batch's trash slot can carry large values (it pools every padded
+    node); `exp`/`log` criteria would turn them into inf, and
+    inf * mask(0) is NaN — masking must happen on the inputs.
+    """
+    m = mask
+    while m.ndim < pred.ndim:
+        m = m[..., None]
+    return jnp.where(m > 0, pred, jnp.zeros_like(pred))
+
+
 def property_loss(out: jnp.ndarray, batch, criterion: str,
                   classification: bool) -> jnp.ndarray:
     """Loss for the property model (reference train.py 'alignn' branch)."""
@@ -78,7 +91,8 @@ def property_loss(out: jnp.ndarray, batch, criterion: str,
         return nll_loss(out, labels, batch.graph_mask)
     fn = CRITERIA[criterion]
     tw = batch.target.shape[1]
-    return fn(out[:, :tw], batch.target, batch.graph_mask)
+    return fn(_sanitize(out[:, :tw], batch.graph_mask), batch.target,
+              batch.graph_mask)
 
 
 def atomwise_loss(result: Dict[str, jnp.ndarray], batch,
