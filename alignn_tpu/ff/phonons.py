@@ -17,7 +17,7 @@ Units: Phi in eV/A^2, masses amu -> omega in sqrt(eV/(amu A^2))
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

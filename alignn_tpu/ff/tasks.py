@@ -10,7 +10,6 @@ builders here are self-contained.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -20,7 +20,7 @@ TPU-native replacement for DGL's C++ batched graph object
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 from flax import struct

@@ -18,7 +18,7 @@ better-behaved and equal in the single-device case).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

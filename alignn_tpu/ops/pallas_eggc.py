@@ -26,8 +26,6 @@ public entry point falls back to the XLA segment-sum path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

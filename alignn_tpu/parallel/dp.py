@@ -11,18 +11,15 @@ update.  BatchNorm statistics reduce across the mesh through the model's
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 # jax.shard_map (0.8+) renamed check_rep; stay on the experimental
 # entry point whose signature we pin (check_rep=False)
 from jax.experimental.shard_map import shard_map
 
-from alignn_tpu.train.losses import atomwise_loss, property_loss
 from alignn_tpu.train.state import TrainState, _forward_and_loss
 
 

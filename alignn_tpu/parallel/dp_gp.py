@@ -14,7 +14,7 @@ shard over ("data", "graph"), everything else over ("data",).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

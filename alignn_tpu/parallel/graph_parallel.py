@@ -21,7 +21,7 @@ per-chip memory for the dominant L terms drops by D.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

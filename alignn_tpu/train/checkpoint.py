@@ -13,7 +13,6 @@ onto this framework's parameter tree for pretrained-model parity
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 

@@ -11,7 +11,7 @@ taken; reproduced exactly via `onecycle_lr(..., per_epoch=True)`.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

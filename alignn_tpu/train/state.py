@@ -11,7 +11,7 @@ with `psum` gradient reduction (see :mod:`alignn_tpu.parallel`).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

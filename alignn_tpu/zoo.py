@@ -16,9 +16,8 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import zipfile
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
