@@ -226,6 +226,25 @@ def train_model(
         "train_time_s": time.time() - t0,
     }
 
+    # per-sample val results (Val_results.json, reference train.py:566-577)
+    if config.store_outputs and len(val_loader):
+        val_results = []
+        vids = val_loader.batch_ids()
+        for bi, batch in enumerate(val_loader):
+            _losses, res = eval_step(state, batch)
+            out = _np(res["out"])
+            gm = _np(batch.graph_mask)
+            tg = _np(batch.target)
+            for gi in range(out.shape[0]):
+                if gm[gi] < 0.5 or gi >= len(vids[bi]):
+                    continue
+                val_results.append(
+                    {"id": vids[bi][gi],
+                     "target": np.atleast_1d(tg[gi]).tolist(),
+                     "predictions": np.atleast_1d(out[gi]).tolist()})
+        dumpjson(val_results, os.path.join(output_dir,
+                                           "Val_results.json"))
+
     # ------------------------------------------------------------------
     # test pass (batch size 1, reference train.py:614-710)
     # ------------------------------------------------------------------
