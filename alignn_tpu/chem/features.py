@@ -120,7 +120,6 @@ def get_node_attributes(symbol: str, atom_features: str = "cgcnn") -> list:
 
 
 @functools.lru_cache(maxsize=None)
-@functools.lru_cache(maxsize=None)
 def _override_table(atom_features: str):
     """Optional drop-in replacement table for exact jarvis parity.
 
@@ -147,6 +146,7 @@ def _override_table(atom_features: str):
     return table
 
 
+@functools.lru_cache(maxsize=None)
 def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
     """[MAX_Z+1, F] lookup table indexed by atomic number.
 

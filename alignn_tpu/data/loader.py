@@ -217,23 +217,43 @@ def get_train_val_loaders(
         num_workers=num_workers, progress=progress)
 
     def make_ds(idxs, split: str) -> GraphDataset:
+        import hashlib
+        import json as _json
+
         recs = [dat[i] for i in idxs]
         ids = [r[id_tag] for r in recs]
         if cache_dir is not None:
             # preprocessed-graph disk cache (reference lmdb_dataset.py
-            # role) via the native record store
+            # role) via the native record store.  A fingerprint of the
+            # graph-construction kwargs, the record ids AND the targets
+            # guards against silently reusing stale graphs when cutoff/
+            # strategy/target change between runs with the same size.
             from alignn_tpu.data.cache import GraphCache
 
+            build_kwargs = {k: v for k, v in graph_kwargs.items()
+                            if k not in ("num_workers", "progress")}
+            fp_src = _json.dumps(
+                [build_kwargs, ids,
+                 [str(r.get(target)) for r in recs]],
+                sort_keys=True, default=str)
+            fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()
             path = os.path.join(cache_dir, f"graphs_{split}")
-            if GraphCache.exists(path):
-                cache = GraphCache(path)
-                if len(cache) == len(recs):
-                    graphs = [cache[i] for i in range(len(cache))]
+            meta_path = path + ".meta.json"
+            if GraphCache.exists(path) and os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                if meta.get("fingerprint") == fingerprint:
+                    cache = GraphCache(path)
+                    if len(cache) == len(recs):
+                        graphs = [cache[i] for i in range(len(cache))]
+                        cache.close()
+                        return GraphDataset(graphs=graphs, ids=ids)
                     cache.close()
-                    return GraphDataset(graphs=graphs, ids=ids)
-                cache.close()
             graphs = records_to_graphs(recs, **graph_kwargs)
             GraphCache.write(path, graphs)
+            with open(meta_path, "w") as f:
+                _json.dump({"fingerprint": fingerprint,
+                            "n": len(graphs)}, f)
             return GraphDataset(graphs=graphs, ids=ids)
         graphs = records_to_graphs(recs, **graph_kwargs)
         return GraphDataset(graphs=graphs, ids=ids)

@@ -26,8 +26,7 @@ import numpy as np
 from alignn_tpu.chem.atoms import Atoms
 from alignn_tpu.graph.batch import BucketSpec, GraphBatch, batch_graphs
 from alignn_tpu.graph.build import build_graph
-
-EV_A3_TO_GPA = 160.21766208
+from alignn_tpu.nn.models import EV_A3_TO_GPA
 
 
 def full_3x3_to_voigt_6_stress(s: np.ndarray) -> np.ndarray:
@@ -211,8 +210,9 @@ class Calculator:
             volume=gc.volume, src=src, dst=dst, r=gc.r[keep],
             images=gc.images[keep], lg_src=lg_src, lg_dst=lg_dst)
 
-    def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:
-        g = self._graph_for(atoms)
+    def _batch_and_fn(self, g, make_fn):
+        """Shared bucket/compile management: grow the spec on overflow
+        (recompile), batch into it, return (batch, jitted fn)."""
         if (self._spec is None
                 or g.num_nodes >= self._spec.n_nodes
                 or g.num_edges >= self._spec.n_edges
@@ -220,12 +220,17 @@ class Calculator:
             self._spec = self._spec_for(g)
             self._fn = None
         if self._fn is None:
-            self._fn = self._make_fn()
+            self._fn = make_fn()
         batch = batch_graphs([g], self._spec,
                              atom_features=self.atom_features)
+        return batch, self._fn
+
+    def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:
+        g = self._graph_for(atoms)
+        batch, fn = self._batch_and_fn(g, self._make_fn)
         import jax
 
-        out, grad, stress = jax.device_get(self._fn(batch))
+        out, grad, stress = jax.device_get(fn(batch))
         n = atoms.num_atoms
         energy = float(np.asarray(out)[0, 0])
         if self.intensive:
@@ -325,18 +330,10 @@ class iCalculator(Calculator):
                 atoms, neighbor_strategy=pc.neighbor_strategy,
                 cutoff=pc.cutoff, max_neighbors=pc.max_neighbors,
                 use_canonize=pc.use_canonize)
-            if (pc._spec is None or g.num_nodes >= pc._spec.n_nodes
-                    or g.num_edges >= pc._spec.n_edges
-                    or g.num_lg_edges >= pc._spec.n_lg_edges):
-                pc._spec = pc._spec_for(g)
-                pc._fn = None
-            if pc._fn is None:
-                pc._fn = pc._make_prop_fn()
-            batch = batch_graphs([g], pc._spec,
-                                 atom_features=pc.atom_features)
+            batch, fn = pc._batch_and_fn(g, pc._make_prop_fn)
             import jax
 
-            atomwise, additional = jax.device_get(pc._fn(batch))
+            atomwise, additional = jax.device_get(fn(batch))
             n = atoms.num_atoms
             atomwise = np.asarray(atomwise)[:n]
             if atomwise.shape[1] >= 2:

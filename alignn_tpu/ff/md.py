@@ -141,7 +141,9 @@ def run_md(calc, atoms: Atoms,
         if ensemble == "npt_berendsen":
             # isotropic Berendsen barostat on the instantaneous pressure:
             # P = (2 Ekin/3 - virial)/V; use model stress trace instead
-            stress = res["stress_3x3"] * 160.21766208  # eV/A^3 -> GPa
+            from alignn_tpu.nn.models import EV_A3_TO_GPA
+
+            stress = res["stress_3x3"] * EV_A3_TO_GPA  # eV/A^3 -> GPa
             p_inst = float(-np.trace(stress) / 3.0)
             mu = (1.0 - (dt / taup) * compressibility_GPa
                   * (pressure_GPa - p_inst)) ** (1.0 / 3.0)

@@ -16,8 +16,7 @@ import numpy as np
 
 from alignn_tpu.chem.atoms import Atoms
 from alignn_tpu.ff.relax import fire_relax
-
-EV_A3_TO_GPA = 160.21766208
+from alignn_tpu.nn.models import EV_A3_TO_GPA
 EV_A2_TO_JM2 = 16.021766208  # eV/A^2 -> J/m^2
 
 

@@ -213,20 +213,31 @@ def nearest_neighbor_edges(atoms: Atoms, cutoff: float = 8.0,
 def build_undirected_edgedata(atoms: Atoms, edges: dict):
     """Expand canonical edge dict into +/-r directed pairs.
 
-    Mirrors reference graphs.py:230-264: each (src, dst, image) contributes
-    both (src->dst, +d) and (dst->src, -d); `images` carries dst_image for
-    both directions, as in the reference.
+    Mirrors reference graphs.py:230-264: each (src, dst, image)
+    contributes both (src->dst, +d) and (dst->src, -d).  Deviation from
+    the reference (which stores dst_image for BOTH directions): the
+    reverse edge stores the NEGATED image, so the invariant
+
+        r_e == cart[dst_e] + images_e @ lattice - cart[src_e]
+
+    holds for every edge.  All paths that recompute bond vectors from
+    positions (compute_cartesian_r: eALIGNN, include_pos_deriv, the
+    on-device MD/relax loops, skin-list reuse) rely on it; with the
+    reference's convention the reverse edges of a k-nearest graph would
+    reconstruct r off by 2*image@lattice.
     """
     u, v, r, all_images = [], [], [], []
     for (src_id, dst_id), image_set in edges.items():
         for dst_image in image_set:
             dst_coord = atoms.frac_coords[dst_id] + np.array(dst_image)
             d = atoms.lattice.cart_coords(dst_coord - atoms.frac_coords[src_id])
-            for uu, vv, dd in [(src_id, dst_id, d), (dst_id, src_id, -d)]:
+            neg_image = tuple(-x for x in dst_image)
+            for uu, vv, dd, im in [(src_id, dst_id, d, dst_image),
+                                   (dst_id, src_id, -d, neg_image)]:
                 u.append(uu)
                 v.append(vv)
                 r.append(dd)
-                all_images.append(dst_image)
+                all_images.append(im)
     return (np.array(u, dtype=np.int32), np.array(v, dtype=np.int32),
             np.array(r, dtype=np.float64),
             np.array(all_images, dtype=np.float64))

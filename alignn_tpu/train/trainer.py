@@ -207,12 +207,18 @@ def train_model(
                         state.params, state.batch_stats)
             save_train_state(os.path.join(output_dir, "restart.mpk"),
                              state, epoch + 1)
-            vloss = val_metrics.get("loss", np.inf)
+        # best/early-stop tracking runs regardless of checkpointing;
+        # with no validation signal (empty val loader) neither best nor
+        # patience advances — early stopping must not fire on no data
+        if "loss" in val_metrics:
+            vloss = val_metrics["loss"]
             if vloss < best_loss:
                 best_loss = vloss
                 no_improve = 0
-                save_params(os.path.join(output_dir, "best_model.mpk"),
-                            state.params, state.batch_stats)
+                if config.write_checkpoint:
+                    save_params(
+                        os.path.join(output_dir, "best_model.mpk"),
+                        state.params, state.batch_stats)
             else:
                 no_improve += 1
         if config.n_early_stopping is not None and \

@@ -59,10 +59,20 @@ def download_checkpoint(model_name: str,
 
 
 def _find(root: str, suffixes) -> Optional[str]:
+    """First file matching the HIGHEST-priority suffix anywhere in root.
+
+    Suffixes are tried strictly in list order over the whole tree, so
+    e.g. best_model.mpk wins over last_model.mpk/restart.mpk even when
+    os.walk yields them first.
+    """
+    all_files = []
     for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if f.endswith(tuple(suffixes)):
-                return os.path.join(dirpath, f)
+        for f in sorted(files):
+            all_files.append(os.path.join(dirpath, f))
+    for suffix in suffixes:
+        for path in all_files:
+            if path.endswith(suffix):
+                return path
     return None
 
 

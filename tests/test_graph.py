@@ -144,3 +144,31 @@ def test_bucketspec_overflow_raises():
         assert False, "expected overflow"
     except ValueError:
         pass
+
+
+def test_r_reconstruction_invariant_all_strategies():
+    """r == cart[dst] + images @ lattice - cart[src] for EVERY edge.
+
+    Every path that recomputes bond vectors from positions
+    (compute_cartesian_r: eALIGNN, include_pos_deriv, on-device MD/relax,
+    skin-list reuse) relies on this; the k-nearest reverse edges
+    originally stored the un-negated image and broke it silently.
+    """
+    import numpy as np
+
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+
+    rng = np.random.default_rng(3)
+    atoms = Atoms(lattice_mat=np.array([[4.0, 0.1, 0.0],
+                                        [-0.2, 3.8, 0.3],
+                                        [0.1, 0.2, 5.1]]),
+                  frac_coords=rng.random((4, 3)),
+                  elements=["Na", "Cl", "Na", "Cl"])
+    for strat in ("k-nearest", "radius_graph"):
+        g = build_graph(atoms, neighbor_strategy=strat, cutoff=6.0,
+                        max_neighbors=12)
+        cart = atoms.cart_coords
+        recon = cart[g.dst] + g.images @ atoms.lattice_mat - cart[g.src]
+        np.testing.assert_allclose(recon, g.r, atol=1e-10,
+                                   err_msg=strat)
