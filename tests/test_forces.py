@@ -262,3 +262,60 @@ def test_virial_stress_matches_strain_finite_difference():
             assert fd == pytest.approx(virial[a, b], rel=2e-2,
                                        abs=2e-3), (a, b, fd,
                                                    virial[a, b])
+
+
+def test_ealignn_knearest_fd_force():
+    """eALIGNN on a k-NEAREST graph: FD forces match model forces.
+
+    Regression pin for the reverse-edge image bug: the eALIGNN forward
+    recomputes bond vectors from positions + images, which was silently
+    wrong for k-nearest reverse edges before the negated-image fix.
+    """
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.nn.ealignn import (
+        eALIGNNAtomWise,
+        eALIGNNAtomWiseConfig,
+        ealignn_forward,
+    )
+
+    cfg = eALIGNNAtomWiseConfig(
+        alignn_layers=1, gcn_layers=1, hidden_features=16,
+        embedding_features=8, gradwise_weight=1.0, stresswise_weight=0.1,
+        inner_cutoff=4.0, remove_torque=False)
+    model = eALIGNNAtomWise(cfg=cfg)
+    a = Atoms(lattice_mat=np.eye(3) * 4.0,
+              frac_coords=[[0.02, 0, 0], [0.5, 0.5, 0.5]],
+              elements=["Na", "Cl"])
+    g = build_graph(a, neighbor_strategy="k-nearest", cutoff=8.0,
+                    max_neighbors=12)
+    g.target = np.array([1.0])
+    g.forces = np.zeros((2, 3))
+    g.stress = np.eye(3) * 0.01
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           batch.frac_coords, train=False)
+    res = ealignn_forward(model, variables, batch, train=False)
+    F = np.asarray(res["grad"])
+
+    # in-model recomputed r must equal the stored (build-time) r
+    em = np.asarray(batch.edge_mask) > 0.5
+    np.testing.assert_allclose(np.asarray(res["r"])[em],
+                               np.asarray(batch.r)[em], atol=1e-5)
+
+    def energy(frac):
+        r = model.apply(variables, batch, frac, train=False)
+        return float(np.asarray(
+            jnp.sum(r["en_out"] * batch.graph_mask)))
+
+    h = 1e-4
+    lat = np.asarray(batch.lattice)[0]
+    frac0 = np.asarray(batch.frac_coords).copy()
+    dfrac = np.zeros_like(frac0)
+    dfrac[0, 0] = h
+    fd = (energy(frac0 + dfrac) - energy(frac0 - dfrac)) / (2 * h)
+    inv = np.linalg.inv(lat)
+    grad_frac = np.zeros(3)
+    grad_frac[0] = fd
+    fd_force = -(grad_frac @ inv.T) * 2  # x total_nodes (eALIGNN conv.)
+    np.testing.assert_allclose(F[0], fd_force, rtol=2e-2, atol=1e-4)
