@@ -103,7 +103,10 @@ class TrainingConfig:
     warmup_steps: int = 2000
     criterion: str = "mse"  # mse | l1 | poisson | zig
     optimizer: str = "adamw"  # adamw | sgd
-    scheduler: str = "onecycle"  # onecycle | none
+    # onecycle = reference parity (per-epoch stepping over an
+    # epochs*steps_per_epoch horizon, see train/optim.py) |
+    # onecycle_full = traverse the whole cycle over `epochs` | none
+    scheduler: str = "onecycle"
     pin_memory: bool = False
     save_dataloader: bool = False
     write_checkpoint: bool = True

@@ -161,7 +161,8 @@ def train_model(
     for epoch in range(start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
         lr = epoch_lr(config.scheduler, config.learning_rate,
-                      config.epochs, epoch)
+                      config.epochs, epoch,
+                      steps_per_epoch=max(len(train_loader), 1))
         state = state.set_lr(lr)
 
         ep_start = time.time()

@@ -59,6 +59,55 @@ def test_onecycle_schedule():
     assert lrs[-1] < 1e-5  # annealed to ~max_lr/25/1e4
 
 
+def test_onecycle_matches_torch():
+    """Step-for-step parity with torch.optim.lr_scheduler.OneCycleLR."""
+    torch = pytest.importorskip("torch")
+
+    from alignn_tpu.train.optim import onecycle_lr
+
+    for total in (100, 7, 37):  # incl. non-integer pct_start * total
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+        ref = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=1e-2, total_steps=total, pct_start=0.3)
+        sched = onecycle_lr(1e-2, total)
+        for step in range(total):
+            expected = ref.get_last_lr()[0]
+            assert float(sched(step)) == pytest.approx(expected, rel=2e-6), \
+                (total, step)
+            opt.step()
+            if step < total - 1:
+                ref.step()
+
+
+def test_onecycle_matches_torch_per_epoch_stepping():
+    """Parity with the reference's actual LR program (train.py:219-227,395):
+
+    OneCycleLR built over epochs*steps_per_epoch but stepped once per
+    epoch — i.e. only the first 1/steps_per_epoch of the cycle runs.
+    """
+    torch = pytest.importorskip("torch")
+
+    from alignn_tpu.train.optim import epoch_lr
+
+    epochs, steps_per_epoch, max_lr = 20, 13, 1e-3
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    ref = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=max_lr, epochs=epochs, steps_per_epoch=steps_per_epoch,
+        pct_start=0.3)
+    for epoch in range(epochs):
+        expected = ref.get_last_lr()[0]
+        ours = epoch_lr("onecycle", max_lr, epochs, epoch,
+                        steps_per_epoch=steps_per_epoch)
+        assert ours == pytest.approx(expected, rel=2e-6), epoch
+        opt.step()
+        ref.step()
+    # the reference run never leaves the warm-up ramp
+    assert epoch_lr("onecycle", max_lr, epochs, epochs - 1,
+                    steps_per_epoch=steps_per_epoch) < max_lr * 0.3
+    # the explicit full-cycle option does traverse the whole cycle
+    assert epoch_lr("onecycle_full", max_lr, epochs, epochs - 1) < 1e-6
+
+
 def test_masked_losses():
     import jax.numpy as jnp
 
