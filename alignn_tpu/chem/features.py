@@ -119,11 +119,25 @@ def get_node_attributes(symbol: str, atom_features: str = "cgcnn") -> list:
     raise ValueError(f"unknown atom_features: {atom_features}")
 
 
+def tables_dir() -> str:
+    """Directory searched for exact-parity feature tables.
+
+    Defaults to ``<package>/chem/tables/``; override with the
+    ``ALIGNN_TPU_TABLES_DIR`` env var (used by tests and by deployments
+    that vendor jarvis's exact tables via tools/vendor_atom_tables.py).
+    """
+    import os
+
+    return os.environ.get(
+        "ALIGNN_TPU_TABLES_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tables"))
+
+
 @functools.lru_cache(maxsize=None)
-def _override_table(atom_features: str):
+def _override_table(atom_features: str, path: str):
     """Optional drop-in replacement table for exact jarvis parity.
 
-    If ``<package>/chem/tables/<name>.json`` exists (schema:
+    If ``<tables_dir>/<name>.json`` exists (schema:
     {"Si": [..F floats..], ...} or {"14": [...]}), it wins over the
     built-in featurization — the path to byte-exact parity with
     checkpoints trained on jarvis's tables, without code changes.
@@ -131,8 +145,6 @@ def _override_table(atom_features: str):
     import json
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tables", f"{atom_features}.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -147,6 +159,14 @@ def _override_table(atom_features: str):
 
 
 @functools.lru_cache(maxsize=None)
+def _builtin_lookup_table(atom_features: str) -> np.ndarray:
+    size = FEATURESET_SIZE[atom_features]
+    table = np.zeros((pt.MAX_Z + 1, size), dtype=np.float32)
+    for z in range(1, pt.MAX_Z + 1):
+        table[z] = get_node_attributes(pt.SYMBOLS[z], atom_features)
+    return table
+
+
 def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
     """[MAX_Z+1, F] lookup table indexed by atomic number.
 
@@ -154,11 +174,10 @@ def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
     (`alignn/graphs.py:1003-1020`) — used so batched featurization is a
     single gather on device.
     """
-    override = _override_table(atom_features)
+    import os
+
+    path = os.path.join(tables_dir(), f"{atom_features}.json")
+    override = _override_table(atom_features, path)
     if override is not None:
         return override
-    size = FEATURESET_SIZE[atom_features]
-    table = np.zeros((pt.MAX_Z + 1, size), dtype=np.float32)
-    for z in range(1, pt.MAX_Z + 1):
-        table[z] = get_node_attributes(pt.SYMBOLS[z], atom_features)
-    return table
+    return _builtin_lookup_table(atom_features)

@@ -20,7 +20,10 @@ def rbf_params(vmin: float, vmax: float, bins: int,
         gamma = 1.0 / lengthscale
     else:
         gamma = 1.0 / (lengthscale**2)
-    return centers.astype(np.float32), float(gamma)
+    # keep f64 here; jnp.asarray at the consumer casts per the active
+    # precision mode (f32 by default, f64 under jax_enable_x64 — the
+    # reference-oracle parity tests run the latter)
+    return centers, float(gamma)
 
 
 def rbf_expand(x: jnp.ndarray, centers: jnp.ndarray,

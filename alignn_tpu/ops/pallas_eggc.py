@@ -18,9 +18,12 @@ matmuls on the MXU:
 - sigma is never materialized in HBM (saves [E, 2F] of traffic vs the
   unfused pair of reductions).
 
-A custom VJP expresses the backward as XLA gathers (differentiable, so
-grad-of-grad force training works through it).  On non-TPU backends the
-public entry point falls back to the XLA segment-sum path.
+A custom VJP fuses the backward too: the denominator recompute is a
+Pallas sorted-segment-sum (one-hot MXU matmul) and the node->edge
+gathers carry a custom transpose that scatters through the same kernel,
+so force training (grad-of-grad differentiates the backward) never hits
+an XLA serialized scatter at any derivative order.  On non-TPU backends
+the public entry points fall back to the XLA segment-sum path.
 """
 
 from __future__ import annotations
@@ -172,6 +175,149 @@ def _pallas_forward(m: jnp.ndarray, bh: jnp.ndarray, dst: jnp.ndarray,
     )(offsets, lo, hi, m_p, bh_p, oh_p)
 
 
+def _ssum_kernel(off_ref, lo_ref, hi_ref,    # scalar prefetch [num_tiles]
+                 x_hbm, oh_hbm,              # HBM inputs
+                 out_ref,                     # VMEM output [TN, F]
+                 x_buf, oh_buf, acc, sems):
+    """Plain sorted segment-sum: acc = onehot^T @ x per node tile.
+
+    Same tile/DMA structure as the fused forward `_kernel` (aligned
+    chunk starts, double buffering, row-validity masking) without the
+    sigmoid/gating math — used by the fused backward for the denominator
+    and as the scatter-transpose of `sorted_gather`.
+    """
+    tile = pl.program_id(0)
+    start = off_ref[tile]
+    lo = lo_ref[tile]
+    hi = hi_ref[tile]
+
+    acc[:] = jnp.zeros_like(acc)
+    num_chunks = pl.cdiv(hi - start, TE)
+
+    def dmas(k, slot):
+        e0 = pl.multiple_of(start + k * TE, TE)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(e0, TE), :], x_buf.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                oh_hbm.at[pl.ds(e0, TE), :], oh_buf.at[slot],
+                sems.at[slot, 1]),
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        nxt = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < num_chunks)
+        def _():
+            for cp in dmas(k + 1, nxt):
+                cp.start()
+
+        for cp in dmas(k, slot):
+            cp.wait()
+        e0 = start + k * TE
+        idx = e0 + jax.lax.broadcasted_iota(jnp.int32, (TE, 1), 0)[:, 0]
+        valid = ((idx >= lo) & (idx < hi)).astype(jnp.float32)
+        rows = x_buf[slot].astype(jnp.float32) * valid[:, None]
+        acc[:] = acc[:] + jax.lax.dot_general(
+            oh_buf[slot].astype(jnp.float32), rows,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, body, 0)
+    out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+def _ssum_pallas(x: jnp.ndarray, dst: jnp.ndarray,
+                 num_nodes: int) -> jnp.ndarray:
+    e, f = x.shape
+    assert num_nodes % TN == 0, num_nodes
+    num_tiles = num_nodes // TN
+    bounds = jnp.searchsorted(
+        dst, jnp.arange(0, num_nodes + 1, TN, dtype=dst.dtype))
+    lo = bounds[:-1].astype(jnp.int32)
+    hi = bounds[1:].astype(jnp.int32)
+    offsets = ((lo // TE) * TE).astype(jnp.int32)
+
+    dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) \
+        else jnp.float32
+    onehot = jax.nn.one_hot(dst % TN, TN, dtype=dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (TN, f), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, TE, f), dtype),
+            pltpu.VMEM((2, TE, TN), dtype),
+            pltpu.VMEM((TN, f), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    interpret = jax.default_backend() != "tpu"
+    x_p = jnp.pad(x.astype(dtype), ((0, TE), (0, 0)))
+    oh_p = jnp.pad(onehot, ((0, TE), (0, 0)))
+    return pl.pallas_call(
+        _ssum_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, f), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(offsets, lo, hi, x_p, oh_p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum(x, dst, num_nodes: int, use_pallas: bool = True):
+    """segment_sum over dst-sorted edges; Pallas one-hot MXU matmul.
+
+    The VJP is `sorted_gather` (whose own VJP is this function again), so
+    every derivative order of the training objective keeps its scatters
+    on the MXU instead of XLA's serialized scatter-add.
+    """
+    if use_pallas and num_nodes % TN == 0 and x.shape[-1] % 128 == 0:
+        return _ssum_pallas(x, dst, num_nodes)
+    return segment_sum(x, dst, num_nodes, indices_are_sorted=True)
+
+
+def _ssum_fwd(x, dst, num_nodes, use_pallas):
+    return sorted_segment_sum(x, dst, num_nodes, use_pallas), dst
+
+
+def _ssum_bwd(num_nodes, use_pallas, dst, g):
+    return sorted_gather(g, dst, num_nodes, use_pallas), None
+
+
+sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_gather(x, dst, num_nodes: int, use_pallas: bool = True):
+    """x[dst] with a Pallas-scatter transpose (see sorted_segment_sum)."""
+    return x[dst]
+
+
+def _gather_fwd(x, dst, num_nodes, use_pallas):
+    return x[dst], dst
+
+
+def _gather_bwd(num_nodes, use_pallas, dst, g):
+    return sorted_segment_sum(g, dst, num_nodes, use_pallas), None
+
+
+sorted_gather.defvjp(_gather_fwd, _gather_bwd)
+
+
 def _xla_forward(m, bh, dst, num_nodes):
     sigma = jax.nn.sigmoid(m)
     packed = jnp.concatenate([sigma * bh, sigma], axis=-1)
@@ -194,13 +340,25 @@ def _fwd(m, bh, dst, num_nodes, use_pallas):
 
 
 def _bwd(num_nodes, use_pallas, res, g):
+    """Backward with Pallas-fused reductions (round-2, VERDICT #6).
+
+    The den recompute is a sorted_segment_sum (MXU one-hot matmul on
+    TPU), and the two node->edge gathers ride a custom-vjp gather whose
+    transpose is again the Pallas scatter — so the force-training
+    grad-of-grad (which differentiates THIS function) never lowers to an
+    XLA scatter-add.  Residuals stay differentiable functions of the
+    primals (den recomputed, not captured), preserving correct higher-
+    order derivatives.
+    """
     m, bh, dst, h = res
+    f = m.shape[-1]
     sigma = jax.nn.sigmoid(m)
-    den = segment_sum(sigma, dst, num_nodes, indices_are_sorted=True) + EPS
+    den = sorted_segment_sum(sigma, dst, num_nodes, use_pallas) + EPS
     ginv = g / den                       # [N, F]
     gh = -g * h / den                    # [N, F] dL/dden
-    ginv_e = ginv[dst]
-    gh_e = gh[dst]
+    packed = sorted_gather(jnp.concatenate([ginv, gh], axis=-1), dst,
+                           num_nodes, use_pallas)
+    ginv_e, gh_e = packed[:, :f], packed[:, f:]
     dbh = sigma * ginv_e
     dsigma = bh * ginv_e + gh_e
     dm = sigma * (1 - sigma) * dsigma

@@ -173,7 +173,9 @@ def _convert_entries(sd: Dict[str, np.ndarray]):
             if p == "weight":
                 out = (head, "kernel"), "params", arr.T
             elif p == "bias":
-                out = (head, "bias"), "params", arr
+                # the reference's log-link init overwrites fc.bias with a
+                # 0-d tensor (alignn.py:276-278) — restore the [1] shape
+                out = (head, "bias"), "params", np.atleast_1d(arr)
         if out is not None:
             yield out
         # unknown entries are skipped (e.g. link params absent here)

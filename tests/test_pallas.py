@@ -90,3 +90,51 @@ def test_wrapper_fallback_unaligned():
     h_ref = _xla_forward(m, bh, dst, n)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_segment_sum_parity_and_grads():
+    """Pallas sorted_segment_sum == XLA segment_sum, through 2nd order.
+
+    The mutually-recursive VJP pair (sorted_segment_sum <-> sorted_gather)
+    is what keeps the fused backward scatter-free at every derivative
+    order (round-2 backward fusion, ops/pallas_eggc.py:_bwd).
+    """
+    from alignn_tpu.ops.pallas_eggc import sorted_gather, sorted_segment_sum
+    from alignn_tpu.ops.segment import segment_sum
+
+    m, _, dst, n = _random_problem()
+
+    out_p = sorted_segment_sum(m, dst, n, True)
+    out_x = segment_sum(m, dst, n, indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_p(x):
+        return jnp.sum(jnp.sin(sorted_segment_sum(x, dst, n, True)) ** 2)
+
+    def loss_x(x):
+        return jnp.sum(jnp.sin(
+            segment_sum(x, dst, n, indices_are_sorted=True)) ** 2)
+
+    g_p = jax.grad(loss_p)(m)
+    g_x = jax.grad(loss_x)(m)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-6)
+
+    # second order: grad of a scalar built from the first grad
+    gg_p = jax.grad(lambda x: jnp.sum(jax.grad(loss_p)(x) ** 2))(m)
+    gg_x = jax.grad(lambda x: jnp.sum(jax.grad(loss_x)(x) ** 2))(m)
+    # f32 accumulation-order noise between the two scatter orders
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_x),
+                               rtol=1e-3, atol=1e-4)
+
+    # gather + its scatter transpose
+    xn = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (n, m.shape[1])).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sorted_gather(xn, dst, n, True)),
+                               np.asarray(xn[dst]), rtol=1e-6, atol=0)
+    gg = jax.grad(lambda x: jnp.sum(
+        sorted_gather(x, dst, n, True) ** 2))(xn)
+    gx = jax.grad(lambda x: jnp.sum(x[dst] ** 2))(xn)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gx),
+                               rtol=1e-5, atol=1e-6)
