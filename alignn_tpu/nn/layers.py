@@ -256,20 +256,14 @@ class ALIGNNConv(nn.Module):
     Reference alignn.py:132-167: node_update(g, x, y) -> (x, m);
     edge_update(L(g), m, z) -> (y, z).
 
-    With `edge_axis` (edge-partitioned graph parallelism): src/dst/lg
-    index arrays and y/z features are sharded over the mesh axis; node
-    features x stay replicated (psum'd inside the aggregation).  The
-    bond messages m — the L(g) node features — are all-gathered over ICI
-    between the two stages so every chip can gather its local L-edges'
-    endpoints; the L-stage output y comes back replicated via the
-    aggregation psum.
+    The edge-sharded (graph-parallel) variant with the ring-pipelined
+    L-stage lives in parallel/gp_model.py.
     """
 
     features: int
     norm: str = "layernorm"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, y, z, src, dst, lg_src, lg_dst,
@@ -277,17 +271,12 @@ class ALIGNNConv(nn.Module):
                  train: bool = True, edge_weight=None, lg_weight=None):
         x, m = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, edge_axis=self.edge_axis,
-            name="node_update")(
+            dtype=self.dtype, name="node_update")(
             x, y, src, dst, node_mask=node_mask, edge_mask=edge_mask,
             train=train, edge_weight=edge_weight)
-        if self.edge_axis is not None:
-            # halo exchange: local bond messages -> full edge table
-            m = jax.lax.all_gather(m, self.edge_axis, axis=0, tiled=True)
         y, z = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, edge_axis=self.edge_axis,
-            name="edge_update")(
+            dtype=self.dtype, name="edge_update")(
             m, z, lg_src, lg_dst, node_mask=edge_mask, edge_mask=lg_mask,
             train=train, edge_weight=lg_weight)
         return x, y, z

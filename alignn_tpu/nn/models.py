@@ -174,35 +174,26 @@ class _Embeddings(nn.Module):
 class _Trunk(nn.Module):
     """ALIGNN conv stack + GCN stack (shared by both models).
 
-    With `edge_axis` set, y flows replicated out of each L-stage (see
-    ALIGNNConv) and is sliced back to the local edge shard before the
-    next g-stage.
+    The edge-sharded (graph-parallel) trunk lives in
+    parallel/gp_model.py (_GPTrunk, ring-pipelined L-stage).
     """
 
     cfg: Any
     norm: str
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    edge_axis: Optional[str] = None
-
-    def _local_edges(self, y, n_local):
-        d = jax.lax.axis_index(self.edge_axis)
-        return jax.lax.dynamic_slice_in_dim(y, d * n_local, n_local, 0)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, y, z, train: bool = True):
         cfg = self.cfg
         kw = dict(norm=self.norm, axis_name=self.axis_name,
-                  dtype=self.dtype, edge_axis=self.edge_axis)
-        n_local = batch.src.shape[0]
+                  dtype=self.dtype)
         for i in range(cfg.alignn_layers):
             x, y, z = ALIGNNConv(cfg.hidden_features,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 node_mask=batch.node_mask, edge_mask=batch.edge_mask,
                 lg_mask=batch.lg_mask, train=train)
-            if self.edge_axis is not None:
-                y = self._local_edges(y, n_local)
         for i in range(cfg.gcn_layers):
             x, y = EdgeGatedGraphConv(cfg.hidden_features,
                                       name=f"gcn_layers_{i}", **kw)(
@@ -274,24 +265,13 @@ class ALIGNNAtomWise(nn.Module):
     cfg: ALIGNNAtomWiseConfig
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    edge_axis: Optional[str] = None  # edge-partitioned graph parallelism
 
     @nn.compact
     def __call__(self, batch: GraphBatch, r, train: bool = True):
         cfg = self.cfg
         kw = dict(norm="layernorm", axis_name=self.axis_name,
                   dtype=self.dtype)
-        if self.edge_axis is not None:
-            # `r` arrives as the FULL edge table (replicated); per-edge
-            # features use this chip's shard, angle gathers use the full
-            # table (lg_src/lg_dst are global edge ids)
-            n_local = batch.src.shape[0]
-            d = jax.lax.axis_index(self.edge_axis)
-            r_local = jax.lax.dynamic_slice_in_dim(r, d * n_local,
-                                                   n_local, 0)
-        else:
-            r_local = r
-        bondlength = jnp.linalg.norm(r_local, axis=1)
+        bondlength = jnp.linalg.norm(r, axis=1)
         cosines = bond_cosines(r, batch.lg_src, batch.lg_dst)
 
         edge_scale = None
@@ -312,68 +292,81 @@ class ALIGNNAtomWise(nn.Module):
 
         x, y, z = _Embeddings(cfg, name="embeddings", **kw)(
             batch, rbf_input, cosines, train=train, edge_scale=edge_scale)
-        x, y = _Trunk(cfg, name="trunk", edge_axis=self.edge_axis, **kw)(
+        x, y = _Trunk(cfg, name="trunk", **kw)(
             batch, x, y, z, train=train)
+        return atomwise_heads(cfg, kw, batch, x, bondlength,
+                              batch.edge_mask, None, train)
 
-        result: Dict[str, jnp.ndarray] = {}
-        h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
 
-        if cfg.extra_features != 0:
-            feats = MLPLayer(cfg.extra_features,
-                             name="extra_feature_embedding", **kw)(
-                batch.extra_features, mask=batch.graph_mask, train=train)
-            hh = jnp.concatenate([h, feats], axis=1)
-            hh = MLPLayer(hh.shape[-1], name="fc1", **kw)(
-                hh, mask=batch.graph_mask, train=train)
-            hh = MLPLayer(hh.shape[-1], name="fc2", **kw)(
-                hh, mask=batch.graph_mask, train=train)
-            out = Dense(cfg.output_features, name="fc3")(hh)
-        elif cfg.classification:
-            out = Dense(1, name="fc")(h)
-        else:
-            out = Dense(cfg.output_features, name="fc",
-                        bias_init_value=_link_init_bias(cfg.link))(h)
+def atomwise_heads(cfg: ALIGNNAtomWiseConfig, kw: Dict[str, Any],
+                   batch: GraphBatch, x, bondlength, edge_mask,
+                   edge_axis: Optional[str], train: bool):
+    """Shared FF head stack (readout/fc/penalty/en_out).
 
-        if cfg.additional_output_features > 0:
-            result["additional"] = Dense(
-                cfg.additional_output_features,
-                name="fc_additional_output")(h)
-        else:
-            result["additional"] = jnp.zeros(
-                (h.shape[0], 1), dtype=out.dtype)
+    Called from within a compact flax module so submodule names ("fc",
+    "fc_atomwise", ...) attach to the caller — used identically by
+    :class:`ALIGNNAtomWise` and the ring-pipelined GP model
+    (:mod:`alignn_tpu.parallel.gp_model`) so parameter trees match.
+    `bondlength`/`edge_mask` may be local shards under `edge_axis`.
+    """
+    result: Dict[str, jnp.ndarray] = {}
+    h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
 
-        if cfg.atomwise_output_features > 0:
-            result["atomwise_pred"] = Dense(
-                cfg.atomwise_output_features, name="fc_atomwise")(x)
-        else:
-            result["atomwise_pred"] = jnp.zeros(
-                (x.shape[0], 1), dtype=out.dtype)
+    if cfg.extra_features != 0:
+        feats = MLPLayer(cfg.extra_features,
+                         name="extra_feature_embedding", **kw)(
+            batch.extra_features, mask=batch.graph_mask, train=train)
+        hh = jnp.concatenate([h, feats], axis=1)
+        hh = MLPLayer(hh.shape[-1], name="fc1", **kw)(
+            hh, mask=batch.graph_mask, train=train)
+        hh = MLPLayer(hh.shape[-1], name="fc2", **kw)(
+            hh, mask=batch.graph_mask, train=train)
+        out = Dense(cfg.output_features, name="fc3")(hh)
+    elif cfg.classification:
+        out = Dense(1, name="fc")(h)
+    else:
+        out = Dense(cfg.output_features, name="fc",
+                    bias_init_value=_link_init_bias(cfg.link))(h)
 
-        # energy entering the force computation
-        # (reference alignn_atomwise.py:495-510)
-        en_out = out[:, 0] if cfg.output_features == 1 else out.sum(axis=1)
-        if cfg.energy_mult_natoms:
-            en_out = en_out * batch.n_nodes
-        if cfg.use_penalty:
-            penalties = jnp.where(
-                bondlength < cfg.penalty_threshold,
-                cfg.penalty_factor * (cfg.penalty_threshold - bondlength),
-                jnp.zeros_like(bondlength)) * batch.edge_mask
-            # reference adds the batch-total penalty to every graph's
-            # energy (alignn_atomwise.py:509-510) — reproduced exactly
-            total_penalty = jnp.sum(penalties)
-            if self.edge_axis is not None:
-                total_penalty = jax.lax.psum(total_penalty,
-                                             self.edge_axis)
-            en_out = en_out + total_penalty
+    if cfg.additional_output_features > 0:
+        result["additional"] = Dense(
+            cfg.additional_output_features,
+            name="fc_additional_output")(h)
+    else:
+        result["additional"] = jnp.zeros(
+            (h.shape[0], 1), dtype=out.dtype)
 
-        out = _apply_link(out, cfg.link)
-        if cfg.classification:
-            out = jax.nn.sigmoid(out)
-        result["out"] = out
-        result["en_out"] = en_out
-        result["bondlength"] = bondlength
-        return result
+    if cfg.atomwise_output_features > 0:
+        result["atomwise_pred"] = Dense(
+            cfg.atomwise_output_features, name="fc_atomwise")(x)
+    else:
+        result["atomwise_pred"] = jnp.zeros(
+            (x.shape[0], 1), dtype=out.dtype)
+
+    # energy entering the force computation
+    # (reference alignn_atomwise.py:495-510)
+    en_out = out[:, 0] if cfg.output_features == 1 else out.sum(axis=1)
+    if cfg.energy_mult_natoms:
+        en_out = en_out * batch.n_nodes
+    if cfg.use_penalty:
+        penalties = jnp.where(
+            bondlength < cfg.penalty_threshold,
+            cfg.penalty_factor * (cfg.penalty_threshold - bondlength),
+            jnp.zeros_like(bondlength)) * edge_mask
+        # reference adds the batch-total penalty to every graph's
+        # energy (alignn_atomwise.py:509-510) — reproduced exactly
+        total_penalty = jnp.sum(penalties)
+        if edge_axis is not None:
+            total_penalty = jax.lax.psum(total_penalty, edge_axis)
+        en_out = en_out + total_penalty
+
+    out = _apply_link(out, cfg.link)
+    if cfg.classification:
+        out = jax.nn.sigmoid(out)
+    result["out"] = out
+    result["en_out"] = en_out
+    result["bondlength"] = bondlength
+    return result
 
 
 def compute_cartesian_r(batch: GraphBatch, frac_coords=None):

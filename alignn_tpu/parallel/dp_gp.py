@@ -36,74 +36,59 @@ GRAPH_AXIS = "graph"
 
 
 def stacked_batch_specs() -> GraphBatch:
-    """PartitionSpecs for a [D, ...]-stacked batch on the 2-D mesh."""
+    """PartitionSpecs for a [D, ...]-stacked batch on the 2-D mesh.
+
+    V2: r shards over the graph axis like every other edge field.
+    """
     fields = {}
     for name in GraphBatch.__dataclass_fields__:
-        if name == "r":
-            # full edge table per data row (autograd point), replicated
-            # over the graph axis
-            fields[name] = P(DATA_AXIS)
-        elif name in _EDGE_FIELDS or name in _LG_FIELDS:
+        if name in _EDGE_FIELDS or name in _LG_FIELDS:
             fields[name] = P(DATA_AXIS, GRAPH_AXIS)
         else:
             fields[name] = P(DATA_AXIS)
     return GraphBatch(**fields)
 
 
+def stacked_ring_specs(ring):
+    from alignn_tpu.parallel.gp_batch import RingIndex
+
+    return RingIndex(lg_src=P(DATA_AXIS, GRAPH_AXIS),
+                     lg_dst=P(DATA_AXIS, GRAPH_AXIS),
+                     lg_mask=P(DATA_AXIS, GRAPH_AXIS),
+                     steps=ring.steps, n_shards=ring.n_shards)
+
+
 def make_dp_gp_train_step(model_cfg, mesh: Mesh,
                           classification: bool = False,
                           donate: bool = True) -> Callable:
-    """Jitted (state, stacked_batch) -> (state, losses) on a 2-D mesh."""
-    model = ALIGNNAtomWise(cfg=model_cfg, edge_axis=GRAPH_AXIS)
+    """Jitted (state, stacked_batch, ring) -> (state, losses), 2-D mesh.
 
-    def per_device_step(state: TrainState, batch: GraphBatch):
+    V2 (ring pipeline): per data row, the micro-batch runs the
+    edge-sharded GPALIGNNAtomWise with ring halo exchange
+    (parallel/gp_model.py); the `ring` argument comes from
+    `gp_batch.make_stacked_ring(batch, gp_size)`.
+    """
+    from alignn_tpu.parallel.gp_model import GPALIGNNAtomWise
+    from alignn_tpu.parallel.graph_parallel import gp_device_outputs
+
+    model = GPALIGNNAtomWise(cfg=model_cfg, axis_name=GRAPH_AXIS)
+    gp_size = mesh.devices.shape[mesh.axis_names.index(GRAPH_AXIS)]
+
+    def per_device_step(state: TrainState, batch: GraphBatch, ring):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        ring = ring.replace(
+            lg_src=ring.lg_src[0], lg_dst=ring.lg_dst[0],
+            lg_mask=ring.lg_mask[0])
 
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-
-            def energy_fn(r):
-                res = model.apply(variables, batch, r, train=True)
-                return jnp.sum(res["en_out"] * batch.graph_mask), res
-
-            (_, res), g_r = jax.value_and_grad(
-                energy_fn, has_aux=True)(batch.r)
-            # psum-transpose semantics: per-chip grad is Dg x its local
-            # contribution (see graph_parallel.make_gp_forward)
-            g_r = jax.lax.pmean(g_r, GRAPH_AXIS)
-            pair_forces = model_cfg.grad_multiplier * g_r
-            if model_cfg.force_mult_natoms:
-                pair_forces = pair_forces * jnp.sum(batch.n_nodes)
-
-            n_local = batch.src.shape[0]
-            d = jax.lax.axis_index(GRAPH_AXIS)
-            pf_local = jax.lax.dynamic_slice_in_dim(
-                pair_forces, d * n_local, n_local, 0)
-            num_nodes = batch.z.shape[0]
-            forces_ji = segment_sum(pf_local, batch.dst, num_nodes)
-            if model_cfg.add_reverse_forces:
-                forces_ij = segment_sum(pf_local, batch.src, num_nodes)
-                forces_local = forces_ji - forces_ij
-            else:
-                forces_local = forces_ji
-            res["grad"] = jax.lax.psum(forces_local, GRAPH_AXIS)
-
-            if model_cfg.stresswise_weight != 0:
-                r_local = jax.lax.dynamic_slice_in_dim(
-                    batch.r, d * n_local, n_local, 0)
-                outer = jnp.einsum("ei,ej->eij", r_local, pf_local)
-                per_graph = jax.lax.psum(
-                    segment_sum(outer, batch.edge_graph,
-                                batch.graph_mask.shape[0]), GRAPH_AXIS)
-                res["stresses"] = (
-                    -model_cfg.stress_multiplier * EV_A3_TO_GPA
-                    * per_graph
-                    / jnp.maximum(batch.volume, 1e-12)[:, None, None])
-            else:
-                res["stresses"] = jnp.zeros_like(batch.stress)
-
+            out, forces, stress, res = gp_device_outputs(
+                model, model_cfg, variables, batch, ring, gp_size,
+                train=True)
+            res["grad"] = forces
+            res["stresses"] = stress
             losses = atomwise_loss(res, batch, model_cfg,
                                    classification=classification)
             return losses["loss"], losses
@@ -121,10 +106,22 @@ def make_dp_gp_train_step(model_cfg, mesh: Mesh,
                                   opt_state=opt_state)
         return new_state, losses
 
-    sharded = shard_map(
-        per_device_step, mesh=mesh,
-        in_specs=(P(), stacked_batch_specs()),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    from alignn_tpu.parallel.gp_batch import make_stacked_ring
+
+    compiled = {}
+
+    def step(state: TrainState, batch: GraphBatch, ring=None):
+        if ring is None:
+            ring = make_stacked_ring(batch, gp_size)
+        key = (ring.steps, ring.n_shards)
+        if key not in compiled:
+            compiled[key] = jax.jit(shard_map(
+                per_device_step, mesh=mesh,
+                in_specs=(P(), stacked_batch_specs(),
+                          stacked_ring_specs(ring)),
+                out_specs=(P(), P()),
+                check_rep=False,
+            ), donate_argnums=(0,) if donate else ())
+        return compiled[key](state, batch, ring)
+
+    return step

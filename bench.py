@@ -80,23 +80,51 @@ def main():
 
     n_edges = batch.src.shape[0] + batch.lg_src.shape[0]
 
-    # warmup / compile
+    # warmup / compile (device_get = hard fence; on the axon remote
+    # backend block_until_ready can return before execution completes,
+    # which inflated early round measurements — BENCH_NOTES.md round 2)
     state, losses = step(state, batch)
-    jax.block_until_ready(losses["loss"])
+    float(jax.device_get(losses["loss"]))
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, losses = step(state, batch)
-    jax.block_until_ready(losses["loss"])
+    float(jax.device_get(losses["loss"]))
     dt = time.perf_counter() - t0
     edges_per_s = n_edges * iters / dt
+
+    # --- MFU accounting (VERDICT r1 #6): XLA's own per-step FLOP count
+    # over the chip's peak.  Pallas kernels appear to XLA as custom calls
+    # with zero FLOPs, so this is a LOWER bound on true MFU; the fused
+    # aggregation matmuls add ~2*(E+L)*128*2F flops per invocation on
+    # top (methodology + hand count in BENCH_NOTES.md).
+    mfu = None
+    step_flops = None
+    try:
+        compiled = jax.jit(step, donate_argnums=()).lower(
+            state, batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        # dense bf16 peak FLOP/s per chip (f32 is half on v4/v5)
+        peaks = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
+                 "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12}
+        peak = next((v for k, v in peaks.items() if k in kind), 197e12)
+        if step_flops > 0:
+            mfu = (step_flops * iters / dt) / peak
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "train_step_edges_per_s",
         "value": float(edges_per_s),
         "unit": "edges/s/chip (g + L(g), fwd+bwd incl. force grad)",
         "vs_baseline": float(edges_per_s / BASELINE_EDGES_PER_S),
+        "mfu_lower_bound": None if mfu is None else round(mfu, 4),
+        "xla_flops_per_step": step_flops,
     }))
 
 
