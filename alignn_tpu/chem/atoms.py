@@ -195,6 +195,40 @@ class Atoms:
                      frac_coords=np.concatenate(new_frac, axis=0),
                      elements=new_elems)
 
+    def make_supercell_matrix(self, p) -> "Atoms":
+        """General integer-matrix supercell: new_lat = P @ lat.
+
+        Needed by the Zur interface matching (ff/zur.py), where the
+        in-plane transformations are non-diagonal.  Atoms fill by
+        enumerating old-lattice translations inside the new cell.
+        """
+        p = np.asarray(p, dtype=np.int64).reshape(3, 3)
+        n_cells = abs(int(round(np.linalg.det(p))))
+        if n_cells == 0:
+            raise ValueError("singular supercell matrix")
+        new_lat = p @ self.lattice_mat
+        corners = (np.array(list(np.ndindex(2, 2, 2))) @ p)
+        lo = corners.min(axis=0) - 1
+        hi = corners.max(axis=0) + 1
+        grids = [np.arange(lo[i], hi[i] + 1) for i in range(3)]
+        imgs = np.stack(np.meshgrid(*grids, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+        inv_p = np.linalg.inv(p)
+        fracs, elems = [], []
+        for img in imgs:
+            f_new = (self.frac_coords + img) @ inv_p
+            keep = np.all((f_new > -1e-9) & (f_new < 1 - 1e-9), axis=1)
+            if keep.any():
+                fracs.append(f_new[keep])
+                elems.extend(np.asarray(self.elements)[keep].tolist())
+        frac = np.concatenate(fracs, axis=0)
+        if frac.shape[0] != n_cells * self.num_atoms:
+            raise RuntimeError(
+                f"supercell fill mismatch: {frac.shape[0]} vs "
+                f"{n_cells * self.num_atoms}")
+        return Atoms(lattice_mat=new_lat, frac_coords=frac,
+                     elements=elems)
+
     def center_around_origin(self) -> "Atoms":
         shift = self.frac_coords.mean(axis=0)
         return Atoms(lattice_mat=self.lattice_mat,

@@ -2,7 +2,7 @@
 
 Tasks: unrelaxed_energy | optimize | nve | nvt_langevin | nvt_andersen |
 nvt_berendsen | npt_berendsen | npt_nose_hoover | ev_curve | vacancy |
-surface | phonons (reference run_alignn_ff.py:100-257).
+surface | phonons | phonons3 (reference run_alignn_ff.py:100-257).
 """
 
 from __future__ import annotations
@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "nvt_langevin", "nvt_andersen",
                             "nvt_berendsen", "npt_berendsen",
                             "npt_nose_hoover", "ev_curve", "vacancy",
-                            "surface", "interface", "phonons"])
+                            "nvt_nose_hoover",
+                            "surface", "interface", "phonons",
+                            "phonons3"])
     p.add_argument("--substrate_path", default=None,
                    help="substrate structure for --task interface")
     p.add_argument("--temperature_K", default=300.0, type=float)
@@ -63,6 +65,7 @@ def main(argv=None):
                                  optimize_lattice=args.optimize_lattice)
         print(json.dumps({"energy": e, "atoms": a.to_dict()}))
     elif task in ("nve", "nvt_langevin", "nvt_andersen", "nvt_berendsen",
+                  "nvt_nose_hoover",
                   "npt_berendsen", "npt_nose_hoover"):
         if args.on_device_md and task in ("nve", "nvt_langevin"):
             kw = dict(steps=args.md_steps, timestep_fs=args.timestep_fs,
@@ -112,6 +115,12 @@ def main(argv=None):
         out = ff.phonons(supercell=sc)
         freqs = out["frequencies_THz"][0]
         print(json.dumps({"gamma_THz": freqs}))
+    elif task == "phonons3":
+        sc = tuple(int(x) for x in args.supercell.split(","))
+        out = ff.phonons3(supercell=sc)
+        print(json.dumps({"theta_d_K": out["theta_d_K"],
+                          "gruneisen": out["gruneisen"],
+                          "kappa_w_mk": out["kappa_w_mk"][:3]}))
 
 
 if __name__ == "__main__":

@@ -141,25 +141,57 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+class GraphCacheWriter:
+    """Streaming writer: graphs go to disk one at a time (O(1) memory).
+
+    The ALIGNN-FF-scale ingest path (300k+ structures) builds, packs and
+    appends each graph without ever materializing the full list —
+    replacing the reference's LMDB write txn loop
+    (lmdb_dataset.py:155-226).
+    """
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._lib = _native_lib()
+        self._h = None
+        if self._lib is not None:
+            self._h = self._lib.rs_writer_open(path.encode())
+        if not self._h:
+            self._lib = None
+            self._py = _PyWriter(path)
+        self.count = 0
+
+    def put(self, g: GraphData):
+        blob = pack_graph(g)
+        if self._lib:
+            self._lib.rs_writer_put(self._h, blob, len(blob))
+        else:
+            self._py.put(blob)
+        self.count += 1
+
+    def close(self):
+        if self._lib:
+            if self._h:
+                self._lib.rs_writer_close(self._h)
+                self._h = None
+        else:
+            self._py.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class GraphCache:
     """Write-once / read-many cache of GraphData records."""
 
     @staticmethod
     def write(path: str, graphs: List[GraphData]):
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        lib = _native_lib()
-        if lib is not None:
-            h = lib.rs_writer_open(path.encode())
-            if h:
-                for g in graphs:
-                    blob = pack_graph(g)
-                    lib.rs_writer_put(h, blob, len(blob))
-                lib.rs_writer_close(h)
-                return
-        w = _PyWriter(path)
-        for g in graphs:
-            w.put(pack_graph(g))
-        w.close()
+        with GraphCacheWriter(path) as w:
+            for g in graphs:
+                w.put(g)
 
     def __init__(self, path: str):
         self.path = path

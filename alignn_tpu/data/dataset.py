@@ -202,6 +202,72 @@ def records_to_graphs(
     return list(it)
 
 
+def records_to_graphs_iter(
+    records: Sequence[Dict[str, Any]],
+    neighbor_strategy: str = "k-nearest",
+    cutoff: float = 8.0,
+    max_neighbors: int = 12,
+    use_canonize: bool = True,
+    compute_line_graph: bool = True,
+    cutoff_extra: float = 3.0,
+    num_workers: int = 0,
+    progress: bool = False,
+):
+    """Streaming variant of :func:`records_to_graphs` (O(1) memory).
+
+    Yields graphs in record order; with num_workers > 1 the pool maps
+    lazily so at most a few chunks are in flight.  Used by the cache
+    ingest path so 300k-structure datasets never materialize in RAM.
+    """
+    kwargs = dict(
+        neighbor_strategy=neighbor_strategy, cutoff=cutoff,
+        max_neighbors=max_neighbors, use_canonize=use_canonize,
+        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra)
+    jobs = ((rec, kwargs) for rec in records)
+    if num_workers and num_workers > 1 and len(records) > 8:
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            it = ex.map(_build_one, jobs, chunksize=16)
+            if progress:
+                from tqdm import tqdm
+
+                it = tqdm(it, total=len(records), desc="graphs")
+            yield from it
+            return
+    it = map(_build_one, jobs)
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(it, total=len(records), desc="graphs")
+    yield from it
+
+
+class LazyCacheView:
+    """Indexable sequence of GraphData backed by a GraphCache.
+
+    Random-access deserialization per item (the reference's LMDB
+    per-item `__getitem__`, lmdb_dataset.py:38-108) — nothing is held in
+    RAM beyond the mmap page cache.  `transform` (e.g. target
+    standardization) applies on read.
+    """
+
+    def __init__(self, cache, transform=None):
+        self.cache = cache
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.cache)
+
+    def __getitem__(self, i: int) -> GraphData:
+        g = self.cache[int(i)]
+        if self.transform is not None:
+            g = self.transform(g)
+        return g
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 @dataclass
 class GraphDataset:
     """A list of per-structure graphs + ids + target normalization state.
@@ -221,19 +287,39 @@ class GraphDataset:
         return len(self.graphs)
 
     def targets(self) -> np.ndarray:
+        # lazy datasets carry targets in metadata (stored at cache-write
+        # time) so no full deserialization pass is needed
+        if "targets" in self.metadata:
+            return np.stack([np.atleast_1d(np.asarray(t, dtype=np.float64))
+                             for t in self.metadata["targets"]])
         return np.stack([np.atleast_1d(g.target) for g in self.graphs])
+
+    def scale_targets(self, mean: float, std: float):
+        """Apply (t - mean)/std to every target, eager or lazy."""
+        std = std if std > 0 else 1.0
+        if isinstance(self.graphs, LazyCacheView):
+            def transform(g, _mean=mean, _std=std):
+                if g.target is not None:
+                    g.target = (np.atleast_1d(g.target) - _mean) / _std
+                return g
+
+            self.graphs.transform = transform
+            if "targets" in self.metadata:
+                self.metadata["targets"] = [
+                    ((np.atleast_1d(np.asarray(t, np.float64)) - mean)
+                     / std).tolist()
+                    for t in self.metadata["targets"]]
+        else:
+            for g in self.graphs:
+                g.target = (np.atleast_1d(g.target) - mean) / std
+        self.target_mean, self.target_std = mean, std
+        return self
 
     def standardize_from(self, other: "GraphDataset" = None):
         """Fit mean/std on `other` (train split) and scale own targets."""
         src = other if other is not None else self
         y = src.targets()
-        mean = float(np.mean(y))
-        std = float(np.std(y))
-        std = std if std > 0 else 1.0
-        for g in self.graphs:
-            g.target = (np.atleast_1d(g.target) - mean) / std
-        self.target_mean, self.target_std = mean, std
-        return self
+        return self.scale_targets(float(np.mean(y)), float(np.std(y)))
 
     def mad(self) -> float:
         """Mean absolute deviation of targets (reference data.py:326-355)."""

@@ -32,29 +32,39 @@ def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
+def spec_from_counts(node_counts, edge_counts, lg_counts, batch_size: int,
+                     node_quantum: int = 128, edge_quantum: int = 128,
+                     lg_quantum: int = 512,
+                     slack: float = 1.0) -> BucketSpec:
+    """Safe static bucket from per-graph count arrays.
+
+    Bounds each axis by the sum of the `batch_size` largest per-graph
+    counts across the dataset (axes bound independently — conservative
+    but compile-once).  Lazy datasets pass counts recorded at
+    cache-write time, so no graph is deserialized to size the bucket.
+    """
+    def bound(counts) -> int:
+        top = sorted((int(c) for c in counts), reverse=True)[:batch_size]
+        return int(sum(top) * slack)
+
+    return BucketSpec(
+        n_nodes=_round_up(bound(node_counts) + 1, node_quantum),
+        n_edges=_round_up(bound(edge_counts) + 1, edge_quantum),
+        n_lg_edges=_round_up(bound(lg_counts) + 1, lg_quantum),
+        n_graphs=batch_size + 1,
+    )
+
+
 def worst_case_spec(graphs: Sequence[GraphData], batch_size: int,
                     node_quantum: int = 128, edge_quantum: int = 128,
                     lg_quantum: int = 512,
                     slack: float = 1.0) -> BucketSpec:
-    """Safe static bucket: no batch of `batch_size` graphs can overflow.
-
-    Bounds each axis by the sum of the `batch_size` largest per-graph
-    counts across the dataset (axes bound independently — conservative
-    but compile-once).
-    """
-    def bound(counts: List[int]) -> int:
-        top = sorted(counts, reverse=True)[:batch_size]
-        return int(sum(top) * slack)
-
-    n = bound([g.num_nodes for g in graphs])
-    e = bound([g.num_edges for g in graphs])
-    lg = bound([g.num_lg_edges for g in graphs])
-    return BucketSpec(
-        n_nodes=_round_up(n + 1, node_quantum),
-        n_edges=_round_up(e + 1, edge_quantum),
-        n_lg_edges=_round_up(lg + 1, lg_quantum),
-        n_graphs=batch_size + 1,
-    )
+    """:func:`spec_from_counts` over materialized graphs."""
+    return spec_from_counts(
+        [g.num_nodes for g in graphs], [g.num_edges for g in graphs],
+        [g.num_lg_edges for g in graphs], batch_size,
+        node_quantum=node_quantum, edge_quantum=edge_quantum,
+        lg_quantum=lg_quantum, slack=slack)
 
 
 class BucketedLoader:
@@ -68,7 +78,8 @@ class BucketedLoader:
                  additional_width: int = 0, extra_width: int = 0,
                  num_shards: int = 1, seed: int = 123,
                  bucket_slack: float = 1.0,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -80,6 +91,7 @@ class BucketedLoader:
         self.extra_width = extra_width
         self.num_shards = num_shards
         self.seed = seed
+        self.prefetch = prefetch
         self.epoch = 0
         # multi-host input sharding (DistributedSampler parity,
         # reference data.py:357-364): every host derives the same
@@ -87,8 +99,14 @@ class BucketedLoader:
         self.host_id = host_id
         self.num_hosts = max(num_hosts, 1)
         if spec is None and len(dataset) > 0:
-            spec = worst_case_spec(dataset.graphs, batch_size,
-                                   slack=bucket_slack)
+            counts = dataset.metadata.get("counts")
+            if counts is not None:
+                c = np.asarray(counts)
+                spec = spec_from_counts(c[:, 0], c[:, 1], c[:, 2],
+                                        batch_size, slack=bucket_slack)
+            else:
+                spec = worst_case_spec(dataset.graphs, batch_size,
+                                       slack=bucket_slack)
         self.spec = spec
 
     def __len__(self) -> int:
@@ -121,22 +139,63 @@ class BucketedLoader:
             additional_width=self.additional_width,
             extra_width=self.extra_width)
 
+    def _batch_for_step(self, order, s: int) -> GraphBatch:
+        full = self.batch_size * self.num_shards
+        chunk = order[s * full:(s + 1) * full]
+        if self.num_shards == 1:
+            return self._make_batch(chunk)
+        shards = [
+            self._make_batch(
+                chunk[d * self.batch_size:(d + 1) * self.batch_size])
+            for d in range(self.num_shards)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *shards)
+
     def __iter__(self) -> Iterator[GraphBatch]:
         order = self._order()
-        full = self.batch_size * self.num_shards
         n_steps = len(self)
-        for s in range(n_steps):
-            chunk = order[s * full:(s + 1) * full]
-            if self.num_shards == 1:
-                yield self._make_batch(chunk)
-            else:
-                shards = [
-                    self._make_batch(
-                        chunk[d * self.batch_size:(d + 1) * self.batch_size])
-                    for d in range(self.num_shards)
-                ]
-                yield jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs, axis=0), *shards)
+        if self.prefetch <= 0 or n_steps <= 1:
+            for s in range(n_steps):
+                yield self._batch_for_step(order, s)
+            return
+        # background-thread prefetch: deserialization + pack/pad of the
+        # next batches overlaps the device step (the reference leans on
+        # torch DataLoader workers for this, data.py:455-493)
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for s in range(n_steps):
+                    if stop.is_set():
+                        return
+                    q.put(("ok", self._batch_for_step(order, s)))
+                q.put(("done", None))
+            except BaseException as exc:  # surface in consumer
+                q.put(("err", exc))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+            # drain so the worker never blocks on a full queue
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
 
     def batch_ids(self) -> List[List[str]]:
         """Ids per batch in the *current* epoch order (no shuffle case)."""
@@ -224,11 +283,18 @@ def get_train_val_loaders(
         ids = [r[id_tag] for r in recs]
         if cache_dir is not None:
             # preprocessed-graph disk cache (reference lmdb_dataset.py
-            # role) via the native record store.  A fingerprint of the
+            # role) via the native record store, consumed LAZILY: each
+            # item deserializes on access (random-access reads like the
+            # reference's LMDB __getitem__), so ALIGNN-FF-scale datasets
+            # never materialize in host RAM.  A fingerprint of the
             # graph-construction kwargs, the record ids AND the targets
             # guards against silently reusing stale graphs when cutoff/
             # strategy/target change between runs with the same size.
-            from alignn_tpu.data.cache import GraphCache
+            from alignn_tpu.data.cache import GraphCache, GraphCacheWriter
+            from alignn_tpu.data.dataset import (
+                LazyCacheView,
+                records_to_graphs_iter,
+            )
 
             build_kwargs = {k: v for k, v in graph_kwargs.items()
                             if k not in ("num_workers", "progress")}
@@ -239,22 +305,37 @@ def get_train_val_loaders(
             fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()
             path = os.path.join(cache_dir, f"graphs_{split}")
             meta_path = path + ".meta.json"
+
+            def lazy_ds(meta) -> GraphDataset:
+                cache = GraphCache(path)
+                return GraphDataset(
+                    graphs=LazyCacheView(cache), ids=ids,
+                    metadata={"counts": meta["counts"],
+                              "targets": meta["targets"]})
+
             if GraphCache.exists(path) and os.path.exists(meta_path):
                 with open(meta_path) as f:
                     meta = _json.load(f)
-                if meta.get("fingerprint") == fingerprint:
-                    cache = GraphCache(path)
-                    if len(cache) == len(recs):
-                        graphs = [cache[i] for i in range(len(cache))]
-                        cache.close()
-                        return GraphDataset(graphs=graphs, ids=ids)
-                    cache.close()
-            graphs = records_to_graphs(recs, **graph_kwargs)
-            GraphCache.write(path, graphs)
+                if meta.get("fingerprint") == fingerprint and \
+                        meta.get("n") == len(recs) and "counts" in meta:
+                    return lazy_ds(meta)
+            # streaming ingest: build -> pack -> append, one graph at a
+            # time; per-graph counts and targets land in the meta so the
+            # loader sizes buckets and computes MAD without reads
+            counts, targets_meta = [], []
+            with GraphCacheWriter(path) as w:
+                for g in records_to_graphs_iter(recs, **graph_kwargs):
+                    w.put(g)
+                    counts.append([g.num_nodes, g.num_edges,
+                                   g.num_lg_edges])
+                    targets_meta.append(
+                        np.atleast_1d(np.asarray(
+                            g.target, dtype=np.float64)).tolist()
+                        if g.target is not None else [0.0])
             with open(meta_path, "w") as f:
-                _json.dump({"fingerprint": fingerprint,
-                            "n": len(graphs)}, f)
-            return GraphDataset(graphs=graphs, ids=ids)
+                _json.dump({"fingerprint": fingerprint, "n": len(recs),
+                            "counts": counts, "targets": targets_meta}, f)
+            return lazy_ds({"counts": counts, "targets": targets_meta})
         graphs = records_to_graphs(recs, **graph_kwargs)
         return GraphDataset(graphs=graphs, ids=ids)
 
@@ -269,20 +350,14 @@ def get_train_val_loaders(
         f.write(f"Baseline MAE: {mad}\n")
 
     if standard_scalar_and_pca and len(train_ds):
-        for ds in (val_ds, test_ds, train_ds):
-            ds.target_mean = 0.0
-        mean_std_src = GraphDataset(graphs=list(train_ds.graphs),
-                                    ids=list(train_ds.ids))
-        y = mean_std_src.targets()
+        y = train_ds.targets()
         mean, std = float(np.mean(y)), float(np.std(y)) or 1.0
         import pickle
 
         with open(os.path.join(output_dir, "sc.pkl"), "wb") as f:
             pickle.dump({"mean": mean, "std": std}, f)
         for ds in (train_ds, val_ds, test_ds):
-            for g in ds.graphs:
-                g.target = (np.atleast_1d(g.target) - mean) / std
-            ds.target_mean, ds.target_std = mean, std
+            ds.scale_targets(mean, std)  # lazy-safe (transform-on-read)
 
     shared_kwargs = dict(
         atom_features=atom_features, target_width=target_width,

@@ -18,7 +18,8 @@ simulation stack is framework-owned and TPU-first:
 """
 
 from alignn_tpu.ff.calculator import Calculator, default_path
-from alignn_tpu.ff.relax import fire_relax
+from alignn_tpu.ff.relax import fire_relax, lbfgs_relax, relax
 from alignn_tpu.ff.md import run_md
 
-__all__ = ["Calculator", "default_path", "fire_relax", "run_md"]
+__all__ = ["Calculator", "default_path", "fire_relax",
+           "lbfgs_relax", "relax", "run_md"]

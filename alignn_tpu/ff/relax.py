@@ -122,3 +122,87 @@ def fire_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
         sys.displace(dr)
     energy, _forces, a = sys.energy_and_forces()
     return a, float(energy), steps
+
+
+def lbfgs_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
+                optimize_lattice: bool = False,
+                scalar_pressure: float = 0.0,
+                memory: int = 25, maxstep: float = 0.2,
+                alpha: float = 70.0,
+                trajectory: Optional[list] = None,
+                logger=None) -> Tuple[Atoms, float, int]:
+    """L-BFGS relaxation (ASE LBFGS semantics: H0 = 1/alpha, no line
+    search, per-step displacement clipped to `maxstep`).
+
+    Round-2 optimizer-variety item (reference exposes
+    BFGS/LBFGS/FIRE/MDMin/GPMin, ff/ff.py:373-417; FIRE was the only
+    round-1 optimizer).  Shares the UnitCellFilter DOF system with FIRE
+    so `optimize_lattice` co-relaxes the cell.
+    """
+    sys = _DofSystem(calc, atoms, optimize_lattice, scalar_pressure)
+    s_list, y_list, rho_list = [], [], []
+    prev_g = None
+    prev_dr = None
+    energy = np.inf
+
+    for it in range(steps):
+        energy, forces, a = sys.energy_and_forces()
+        fnorm = float(np.sqrt((forces ** 2).sum(axis=1).max()))
+        if logger is not None:
+            logger(it, energy, fnorm)
+        if trajectory is not None:
+            trajectory.append({"energy": float(energy), "fmax": fnorm,
+                               "atoms": a.to_dict()})
+        if fnorm < fmax:
+            return a, float(energy), it
+
+        g = -forces.reshape(-1)  # gradient
+        if prev_g is not None:
+            s = prev_dr.reshape(-1)  # x_k - x_{k-1}
+            y = g - prev_g
+            ys = float(y @ s)
+            if ys > 1e-10:
+                s_list.append(s)
+                y_list.append(y)
+                rho_list.append(1.0 / ys)
+                if len(s_list) > memory:
+                    s_list.pop(0)
+                    y_list.pop(0)
+                    rho_list.pop(0)
+
+        # two-loop recursion
+        q = g.copy()
+        alphas = []
+        for s, y, rho in zip(reversed(s_list), reversed(y_list),
+                             reversed(rho_list)):
+            a_i = rho * (s @ q)
+            alphas.append(a_i)
+            q -= a_i * y
+        q *= 1.0 / alpha  # H0 = 1/alpha * I (ASE default alpha=70)
+        for (s, y, rho), a_i in zip(zip(s_list, y_list, rho_list),
+                                    reversed(alphas)):
+            b_i = rho * (y @ q)
+            q += (a_i - b_i) * s
+        dr = (-q).reshape(-1, 3)
+        maxd = float(np.sqrt((dr ** 2).sum(axis=1).max()))
+        if maxd > maxstep:
+            dr = dr * (maxstep / max(maxd, 1e-12))
+
+        sys.displace(dr)
+        prev_g = g
+        prev_dr = dr
+    energy, _forces, a = sys.energy_and_forces()
+    return a, float(energy), steps
+
+
+OPTIMIZERS = {"fire": fire_relax, "lbfgs": lbfgs_relax}
+
+
+def relax(calc, atoms: Atoms, optimizer: str = "fire", **kwargs):
+    """Dispatch by optimizer name (reference ff.py:373-417 interface)."""
+    try:
+        fn = OPTIMIZERS[optimizer.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; have {sorted(OPTIMIZERS)}")
+    return fn(calc, atoms, **kwargs)

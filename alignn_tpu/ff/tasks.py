@@ -239,15 +239,42 @@ def get_interface_energy(calc, film: Atoms, substrate: Atoms,
                          film_miller=(0, 0, 1), subs_miller=(0, 0, 1),
                          film_layers: int = 2, subs_layers: int = 2,
                          separation: float = 2.5, vacuum: float = 18.0,
-                         fmax: float = 0.05, steps: int = 100) -> Dict:
+                         fmax: float = 0.05, steps: int = 100,
+                         max_area: float = 400.0,
+                         max_length_tol: float = 0.03,
+                         max_angle_tol: float = 0.01) -> Dict:
     """Stack film slab on substrate slab; W_ad per area.
 
-    Simplified version of reference ff/ff.py:984-1116 (which performs Zur
-    lattice matching): the film cell is strained onto the substrate's
-    in-plane lattice.
+    Round 2: performs Zur & McGill lattice matching (ff/zur.py) like the
+    reference (`ff/ff.py:984-1116` via jarvis ZSLGenerator): both slabs
+    expand to the lowest-area commensurate superlattices within the
+    length/angle tolerances, then the film takes only the small residual
+    strain.  If no match exists within `max_area`, falls back to the
+    direct strained stacking (round-1 behavior) and flags it.
     """
+    from alignn_tpu.ff.zur import best_match
+
     f_slab = make_slab(film, film_miller, film_layers, vacuum=0.0)
     s_slab = make_slab(substrate, subs_miller, subs_layers, vacuum=0.0)
+
+    match = best_match(f_slab.lattice_mat[:2], s_slab.lattice_mat[:2],
+                       max_area=max_area, max_length_tol=max_length_tol,
+                       max_angle_tol=max_angle_tol)
+    zur_info: Dict = {"zur_matched": match is not None}
+    if match is not None:
+        def to3(t2):
+            p = np.eye(3, dtype=np.int64)
+            p[:2, :2] = t2
+            return p
+
+        f_slab = f_slab.make_supercell_matrix(to3(match.film_transform))
+        s_slab = s_slab.make_supercell_matrix(
+            to3(match.substrate_transform))
+        zur_info.update({
+            "zur_area_A2": match.area,
+            "zur_mean_abs_strain": match.mean_abs_strain,
+            "film_transform": match.film_transform.tolist(),
+            "substrate_transform": match.substrate_transform.tolist()})
     lat_s = s_slab.lattice_mat
     # strain film in-plane onto substrate a/b
     f_cart = f_slab.cart_coords
@@ -274,4 +301,4 @@ def get_interface_energy(calc, film: Atoms, substrate: Atoms,
     return {"W_adhesion_J_m2": float(w_ad * EV_A2_TO_JM2),
             "E_interface": float(e_iface), "E_film": float(e_f),
             "E_substrate": float(e_s), "area_A2": area,
-            "interface": iface.to_dict()}
+            "interface": iface.to_dict(), **zur_info}

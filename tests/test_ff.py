@@ -201,3 +201,142 @@ def test_skin_neighbor_list_reuse(nacl):
             + 0.02 * rng.standard_normal((a.num_atoms, 3)))
     # the skin calculator must have reused its candidate list
     assert calc_skin._nl_graph is not None
+
+
+def test_nose_hoover_conserves_extended_hamiltonian(calc, nacl):
+    """NVT Nose-Hoover: H_ext = E + KE + Q xi^2/2 + g kB T eta conserved.
+
+    Round-2 real-integrator item (VERDICT r1 #7; reference drives ASE's
+    Nose-Hoover NPT, ff/ff.py:556-575).  Drift must be small relative to
+    the kinetic-energy scale.
+    """
+    state, log = run_md(calc, nacl, ensemble="nvt_nose_hoover",
+                        steps=160, timestep_fs=0.25, temperature_K=300.0,
+                        taut_fs=50.0, log_interval=2, seed=3)
+    h = np.array([row["h_ext"] for row in log.rows if "h_ext" in row])
+    assert len(h) > 20
+    # O(dt^2)-bounded oscillation, no secular drift: compare the mean of
+    # the first and last quarters (endpoint diffs ride the oscillation)
+    q = len(h) // 4
+    drift = abs(h[-q:].mean() - h[:q].mean())
+    ke_scale = max(abs(r["ekin"]) for r in log.rows) + 1e-6
+    assert drift < 0.05 * ke_scale, (drift, ke_scale)
+    assert (h.max() - h.min()) < 0.5 * ke_scale
+
+
+def test_andersen_thermostat_controls_temperature(calc, nacl):
+    """Andersen collisions equilibrate toward the target temperature."""
+    sc = nacl.make_supercell((2, 2, 2))
+    state, log = run_md(calc, sc, ensemble="nvt_andersen", steps=150,
+                        timestep_fs=1.0, temperature_K=300.0,
+                        friction=0.1, initial_temperature_K=600.0,
+                        log_interval=5, seed=5)
+    late_t = np.mean([r["T"] for r in log.rows[-8:]])
+    # started at 600 K; collisions at 300 K pull it down decisively
+    assert late_t < 480.0, late_t
+    assert np.isfinite(late_t)
+
+
+def test_npt_nose_hoover_runs(calc, nacl):
+    state, log = run_md(calc, nacl, ensemble="npt_nose_hoover", steps=30,
+                        timestep_fs=0.5, temperature_K=300.0,
+                        pressure_GPa=0.0, log_interval=10, seed=7)
+    assert all(np.isfinite(r["etot"]) for r in log.rows)
+    assert state.atoms.volume > 0
+
+
+def test_lbfgs_relax_reduces_force(calc, nacl):
+    from alignn_tpu.ff.relax import lbfgs_relax, relax
+
+    perturbed = nacl.with_positions(
+        cart_coords=nacl.cart_coords
+        + 0.08 * np.random.default_rng(0).standard_normal((2, 3)))
+    res0 = calc.calculate(perturbed)
+    f0 = float(np.abs(res0["forces"]).max())
+    atoms, energy, n = lbfgs_relax(calc, perturbed, fmax=0.02, steps=80)
+    res1 = calc.calculate(atoms)
+    f1 = float(np.sqrt((res1["forces"] ** 2).sum(axis=1)).max())
+    assert f1 < max(0.02, 0.5 * f0)
+    # dispatcher parity
+    atoms2, energy2, _ = relax(calc, perturbed, optimizer="lbfgs",
+                               fmax=0.02, steps=80)
+    assert energy2 == pytest.approx(energy, abs=1e-6)
+    with pytest.raises(ValueError):
+        relax(calc, perturbed, optimizer="nope")
+
+
+def test_zur_matching_synthetic():
+    """Zur finds the exact 4:1 superlattice of commensurate hexagonals."""
+    from alignn_tpu.ff.zur import best_match, zur_matches
+
+    a = 3.0
+    hex_ab = np.array([[a, 0, 0], [-a / 2, a * np.sqrt(3) / 2, 0]])
+    m = best_match(2.0 * hex_ab, hex_ab)  # film lattice = 2x substrate
+    assert m is not None
+    assert m.mean_abs_strain < 1e-8
+    # film 1 cell area = 4 substrate cells
+    assert abs(np.linalg.det(m.substrate_transform)) == 4
+    assert abs(np.linalg.det(m.film_transform)) == 1
+
+    # small mismatch within tolerance -> 1:1 match with ~2% strain
+    sq = np.array([[4.0, 0, 0], [0, 4.0, 0]])
+    sq2 = np.array([[4.08, 0, 0], [0, 4.08, 0]])
+    m2 = best_match(sq2, sq, max_length_tol=0.03)
+    assert m2 is not None and abs(np.linalg.det(m2.film_transform)) == 1
+    assert 0.005 < m2.mean_abs_strain < 0.03
+
+    # hopeless mismatch at tiny max_area -> no match
+    assert zur_matches(np.array([[5.37, 0, 0], [0, 5.37, 0]]), sq,
+                       max_area=20.0, max_length_tol=0.01) == []
+
+
+def test_supercell_matrix():
+    a = Atoms(lattice_mat=np.eye(3) * 4.0,
+              frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+              elements=["Na", "Cl"])
+    p = np.array([[1, 1, 0], [-1, 1, 0], [0, 0, 1]])
+    sc = a.make_supercell_matrix(p)
+    assert sc.num_atoms == 4  # det = 2
+    np.testing.assert_allclose(sc.volume, 2 * a.volume, rtol=1e-9)
+
+
+def test_interface_energy_zur(calc, nacl):
+    """Interface task reports a Zur match for commensurate slabs."""
+    from alignn_tpu.ff.tasks import get_interface_energy
+
+    out = get_interface_energy(calc, nacl, nacl, film_layers=1,
+                               subs_layers=1, steps=3, fmax=10.0)
+    assert out["zur_matched"] is True
+    assert out["zur_mean_abs_strain"] < 1e-6
+    assert np.isfinite(out["W_adhesion_J_m2"])
+
+
+def test_fc3_symmetry_and_kappa(calc, nacl):
+    """fc3 finite differences: (i,alpha)<->(j,beta) permutation symmetry
+    holds for pairs within the primitive set; Slack kappa is positive
+    and ~1/T (reference phonons3 counterpart, ff/ff.py:1271-1334)."""
+    from alignn_tpu.ff.phonons3 import third_order_fc, thermal_conductivity
+
+    fc = third_order_fc(calc, nacl, supercell=(1, 1, 1), distance=0.05,
+                        pair_cutoff=4.0)
+    fc3 = fc["fc3"]
+    n_prim = fc["n_prim"]
+    # permutation symmetry: Phi(i a, j b, k c) == Phi(j b, i a, k c)
+    for i in range(n_prim):
+        for j in range(n_prim):
+            np.testing.assert_allclose(
+                fc3[i, :, j, :, :, :],
+                np.swapaxes(fc3[j, :, i, :, :, :], 0, 1),
+                atol=5e-2)
+    # translational (acoustic) sum rule over k, approximately
+    asr = np.abs(fc3.sum(axis=4)).max()
+    assert asr < 0.5, asr
+
+    out = thermal_conductivity(calc, nacl, supercell=(1, 1, 1),
+                               temperatures=(200.0, 400.0, 800.0),
+                               mesh=(4, 4, 4))
+    k = out["kappa_w_mk"]
+    assert all(np.isfinite(k)) and all(v >= 0 for v in k)
+    if k[0] > 0:
+        # Slack model: kappa ~ 1/T
+        assert k[0] > k[1] > k[2]
