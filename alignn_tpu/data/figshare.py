@@ -51,6 +51,32 @@ _CACHE = os.environ.get(
     os.path.join(os.path.expanduser("~"), ".cache", "alignn_tpu", "data"))
 
 
+def _url_overrides() -> Dict[str, str]:
+    """Exact jarvis figshare URL table, when vendored.
+
+    The build environment has zero egress, so the `None` entries above
+    cannot be verified here; running tools/vendor_figshare_urls.py in a
+    jarvis-equipped environment writes `figshare_urls.json` next to this
+    module (or point ALIGNN_TPU_FIGSHARE_URLS at it) and every dataset
+    name resolves to jarvis's own URL.
+    """
+    path = os.environ.get(
+        "ALIGNN_TPU_FIGSHARE_URLS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "figshare_urls.json"))
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return {k: v for k, v in json.load(f).items() if v}
+        except Exception:
+            return {}
+    return {}
+
+
+def resolve_url(name: str) -> Optional[str]:
+    return _url_overrides().get(name) or DATASET_URLS.get(name)
+
+
 def dataset_cache_path(name: str) -> str:
     return os.path.join(_CACHE, f"{name}.json")
 
@@ -63,7 +89,7 @@ def load_dataset(name: str, url: Optional[str] = None,
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)
-    url = url or DATASET_URLS.get(name)
+    url = url or resolve_url(name)
     if url is None:
         raise ValueError(
             f"no known figshare url for dataset '{name}'; pass url= or "

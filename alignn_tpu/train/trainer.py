@@ -233,24 +233,60 @@ def train_model(
         "train_time_s": time.time() - t0,
     }
 
-    # per-sample val results (Val_results.json, reference train.py:566-577)
-    if config.store_outputs and len(val_loader):
-        val_results = []
-        vids = val_loader.batch_ids()
-        for bi, batch in enumerate(val_loader):
+    # per-sample train/val results (Train_results.json /
+    # Val_results.json, reference train.py:563-577).  The reference
+    # accumulates train_result DURING the last epoch; evaluating the
+    # final parameters over the loaders gives the same schema with
+    # consistent (post-update) predictions.
+    def _per_sample_results(loader):
+        results = []
+        ids = loader.batch_ids()
+        for bi, batch in enumerate(loader):
             _losses, res = eval_step(state, batch)
             out = _np(res["out"])
             gm = _np(batch.graph_mask)
             tg = _np(batch.target)
             for gi in range(out.shape[0]):
-                if gm[gi] < 0.5 or gi >= len(vids[bi]):
+                if gm[gi] < 0.5 or bi >= len(ids) or gi >= len(ids[bi]):
                     continue
-                val_results.append(
-                    {"id": vids[bi][gi],
-                     "target": np.atleast_1d(tg[gi]).tolist(),
-                     "predictions": np.atleast_1d(out[gi]).tolist()})
-        dumpjson(val_results, os.path.join(output_dir,
-                                           "Val_results.json"))
+                info = {"id": ids[bi][gi],
+                        "target": np.atleast_1d(tg[gi]).tolist(),
+                        "predictions": np.atleast_1d(out[gi]).tolist()}
+                if is_atomwise:
+                    nm = _np(batch.node_mask) > 0.5
+                    ng = _np(batch.node_graph)
+                    sel = nm & (ng == gi)
+                    if getattr(config.model, "calculate_gradient",
+                               False):
+                        info["target_grad"] = _np(
+                            batch.forces)[sel].tolist()
+                        info["pred_grad"] = _np(res["grad"])[sel].tolist()
+                    if getattr(config.model, "stresswise_weight", 0) != 0:
+                        info["target_stress"] = _np(
+                            batch.stress)[gi].tolist()
+                        info["pred_stress"] = _np(
+                            res["stresses"])[gi].tolist()
+                results.append(info)
+        return results
+
+    if config.store_outputs and len(val_loader):
+        dumpjson(_per_sample_results(val_loader),
+                 os.path.join(output_dir, "Val_results.json"))
+    if config.store_outputs and len(train_loader):
+        # fixed order for the dump (epoch shuffling off)
+        was_shuffle = train_loader.shuffle
+        train_loader.shuffle = False
+        dumpjson(_per_sample_results(train_loader),
+                 os.path.join(output_dir, "Train_results.json"))
+        train_loader.shuffle = was_shuffle
+
+    # learning-curve plot (reference utils.py:24-47 surface)
+    try:
+        from alignn_tpu.train.plots import plot_learning_curve
+
+        plot_learning_curve(output_dir, key="loss", plot_train=True)
+    except Exception as exc:  # matplotlib quirks must not fail training
+        print("learning-curve plot skipped:", exc)
 
     # ------------------------------------------------------------------
     # test pass (batch size 1, reference train.py:614-710)

@@ -172,3 +172,29 @@ def test_r_reconstruction_invariant_all_strategies():
         recon = cart[g.dst] + g.images @ atoms.lattice_mat - cart[g.src]
         np.testing.assert_allclose(recon, g.r, atol=1e-10,
                                    err_msg=strat)
+
+
+def test_radius_graph_jarvis_excludes_self_image():
+    """jarvis sphere-query semantics (reference graphs.py:45,85-125):
+    self-image i->i bonds are filtered by index; radius_graph keeps them."""
+    from alignn_tpu.graph.build import radius_graph, radius_graph_jarvis
+
+    # 1-atom cell: ALL radius edges are self-image bonds
+    a = Atoms(lattice_mat=np.eye(3) * 3.0, frac_coords=[[0, 0, 0]],
+              elements=["Cu"])
+    u, v, r, im = radius_graph(a, cutoff=4.0)
+    assert (u == v).all() and u.size > 0  # self-image pairs present
+    # jarvis variant: no self-bonds by construction -> must keep
+    # extending and finally fail on a single-atom cell
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        radius_graph_jarvis(a, cutoff=4.0, max_attempts=3)
+
+    # 2-atom cell: jarvis graph covers both atoms, excludes i==i rows
+    b = Atoms(lattice_mat=np.eye(3) * 3.5,
+              frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+              elements=["Na", "Cl"])
+    u2, v2, r2, im2 = radius_graph_jarvis(b, cutoff=4.0)
+    assert (u2 != v2).all() and u2.size > 0
+    u3, v3, _r3, _im3 = radius_graph(b, cutoff=4.0)
+    assert (u3 == v3).sum() > 0  # plain radius graph keeps self-image

@@ -137,6 +137,8 @@ def test_train_property_e2e(tmp_path):
     assert np.isfinite(summary["best_val_loss"])
     for fname in ("config.json", "history_train.json", "history_val.json",
                   "ids_train_val_test.json", "Test_results.json",
+                  "Train_results.json", "Val_results.json",
+                  "learning_curve.png",
                   "best_model.mpk", "current_model.mpk", "last_model.mpk",
                   "restart.mpk", "prediction_results_test_set.csv"):
         assert os.path.exists(os.path.join(out, fname)), fname
@@ -145,6 +147,10 @@ def test_train_property_e2e(tmp_path):
     results = json.load(open(os.path.join(out, "Test_results.json")))
     assert len(results) == 2
     assert {"id", "target", "predictions"} <= set(results[0])
+    # per-sample train dump (reference train.py:563-569 surface)
+    tr_res = json.load(open(os.path.join(out, "Train_results.json")))
+    assert len(tr_res) == 8
+    assert {"id", "target", "predictions"} <= set(tr_res[0])
 
 
 def test_train_ff_e2e(tmp_path):
