@@ -141,3 +141,38 @@ def test_zoo_registry_shapes():
     for name, meta in list(reg.items())[:5]:
         assert meta["url"].startswith("https://")
         assert meta["output_features"] >= 1
+
+
+def test_loader_prefetch_deterministic(tmp_path):
+    """Background-prefetch iteration yields identical batches to the
+    synchronous path (order and content)."""
+    import numpy as np
+
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.data.dataset import GraphDataset
+    from alignn_tpu.data.loader import BucketedLoader
+    from alignn_tpu.graph.build import build_graph
+
+    rng = np.random.default_rng(0)
+    graphs, ids = [], []
+    for i in range(10):
+        a = Atoms(lattice_mat=np.eye(3) * (4.0 + 0.05 * i),
+                  frac_coords=np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+                  + 0.01 * rng.standard_normal((2, 3)),
+                  elements=["Na", "Cl"])
+        g = build_graph(a, cutoff=5.0, max_neighbors=12)
+        g.target = np.array([float(i)])
+        graphs.append(g)
+        ids.append(f"g{i}")
+    ds = GraphDataset(graphs=graphs, ids=ids)
+    l_sync = BucketedLoader(ds, batch_size=3, shuffle=True, prefetch=0)
+    l_pre = BucketedLoader(ds, batch_size=3, shuffle=True, prefetch=2)
+    l_sync.set_epoch(1)
+    l_pre.set_epoch(1)
+    b_sync = list(l_sync)
+    b_pre = list(l_pre)
+    assert len(b_sync) == len(b_pre) > 0
+    for a, b in zip(b_sync, b_pre):
+        np.testing.assert_array_equal(a.z, b.z)
+        np.testing.assert_allclose(a.target, b.target)
+        np.testing.assert_allclose(a.r, b.r)
