@@ -50,6 +50,15 @@ class GraphBatch:
     lg_src: np.ndarray          # [L] int32 edge ids (pad -> E-1)
     lg_dst: np.ndarray          # [L] int32 edge ids (pad -> E-1)
     lg_mask: np.ndarray         # [L] float32
+    # sort permutations for scatter-transposes (round 2): edges are
+    # dst-sorted, so gathers by dst transpose to sorted segment sums for
+    # free; gathers by src / lg_src need these precomputed stable-argsort
+    # permutations so their transposes also run as sorted (Pallas MXU)
+    # scatters instead of XLA serialized scatter-adds
+    src_perm: np.ndarray        # [E] int32, argsort(src)
+    src_perm_inv: np.ndarray    # [E] int32, inverse of src_perm
+    lg_src_perm: np.ndarray     # [L] int32, argsort(lg_src)
+    lg_src_perm_inv: np.ndarray  # [L] int32
     # graphs [G]
     lattice: np.ndarray         # [G, 3, 3] float32
     volume: np.ndarray          # [G] float32
@@ -233,11 +242,23 @@ def batch_graphs(graphs: List[GraphData], spec: BucketSpec,
         e_off += ne
         l_off += nl
 
+    def perm_pair(idx):
+        p = np.argsort(idx, kind="stable").astype(np.int32)
+        inv = np.empty_like(p)
+        inv[p] = np.arange(p.shape[0], dtype=np.int32)
+        return p, inv
+
+    src_perm, src_perm_inv = perm_pair(src)
+    lg_src_perm, lg_src_perm_inv = perm_pair(lg_src)
+
     return GraphBatch(
         z=z, atom_features=feats, frac_coords=frac, node_graph=node_graph,
         node_mask=node_mask, src=src, dst=dst, r=r, images=images,
         edge_graph=edge_graph, edge_mask=edge_mask, lg_src=lg_src,
-        lg_dst=lg_dst, lg_mask=lg_mask, lattice=lattice, volume=volume,
+        lg_dst=lg_dst, lg_mask=lg_mask,
+        src_perm=src_perm, src_perm_inv=src_perm_inv,
+        lg_src_perm=lg_src_perm, lg_src_perm_inv=lg_src_perm_inv,
+        lattice=lattice, volume=volume,
         n_nodes=n_nodes, graph_mask=graph_mask, target=target, forces=forces,
         stress=stress, atomwise_target=atomwise_t, additional=additional,
         extra_features=extra,

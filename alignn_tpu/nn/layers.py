@@ -86,14 +86,21 @@ class MaskedLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        # per-row statistics: padding rows normalize harmlessly in place
+        # per-row statistics: padding rows normalize harmlessly in place.
+        # Statistics/affine run in >= f32, but the OUTPUT keeps the input
+        # dtype — multiplying bf16 activations by the f32 scale param
+        # would otherwise silently promote every downstream edge/L-edge
+        # table (and its cotangents) to f32, doubling HBM traffic
+        # (round-2 finding; see BENCH_NOTES.md).
         f = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (f,))
         bias = self.param("bias", nn.initializers.zeros, (f,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        xf = x.astype(stat_dtype)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -118,16 +125,19 @@ class MaskedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(f, jnp.float32))
 
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        xf = x.astype(stat_dtype)
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
         else:
             if mask is None:
-                w = jnp.ones(x.shape[0], x.dtype)
+                w = jnp.ones(x.shape[0], stat_dtype)
             else:
-                w = mask.astype(x.dtype)
+                w = mask.astype(stat_dtype)
             cnt = jnp.sum(w)
-            sum_x = jnp.sum(x * w[:, None], axis=0)
-            sum_x2 = jnp.sum((x * x) * w[:, None], axis=0)
+            sum_x = jnp.sum(xf * w[:, None], axis=0)
+            sum_x2 = jnp.sum((xf * xf) * w[:, None], axis=0)
             if self.axis_name is not None:
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 sum_x = jax.lax.psum(sum_x, self.axis_name)
@@ -139,10 +149,13 @@ class MaskedBatchNorm(nn.Module):
                 # torch updates running var with the unbiased estimate
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+                ra_mean.value = ((1 - m) * ra_mean.value
+                                 + m * mean.astype(jnp.float32))
+                ra_var.value = ((1 - m) * ra_var.value
+                                + m * unbiased.astype(jnp.float32))
+        # output keeps the input dtype (see MaskedLayerNorm note)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class RBFExpansion(nn.Module):
@@ -206,21 +219,43 @@ class EdgeGatedGraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, e, src, dst, node_mask=None, edge_mask=None,
-                 train: bool = True, edge_weight=None):
+                 train: bool = True, edge_weight=None,
+                 src_perm=None, src_perm_inv=None):
         num_nodes = x.shape[0]
         f = self.features
         src_gate = Dense(f, dtype=self.dtype, name="src_gate")(x)
         dst_gate = Dense(f, dtype=self.dtype, name="dst_gate")(x)
-        m = src_gate[src] + dst_gate[dst] + Dense(
-            f, dtype=self.dtype, name="edge_gate")(e)
-        bh = Dense(f, dtype=self.dtype, name="dst_update")(x)
         pallas = self.use_pallas if self.use_pallas is not None \
             else pallas_default()
-        if pallas and edge_weight is None and self.edge_axis is None:
-            from alignn_tpu.ops.pallas_eggc import \
-                edge_gated_aggregate_pallas
+        fuse_gathers = (pallas and src_perm is not None
+                        and self.edge_axis is None)
+        if fuse_gathers:
+            # gathers with sorted-scatter transposes (round 2): dst is
+            # sorted by construction; src rides the precomputed argsort
+            # permutation.  Without this, the backward's dominant cost
+            # is XLA serialized scatter-adds of the [E|L, F] cotangents.
+            from alignn_tpu.ops.pallas_eggc import (
+                gather_nodes,
+                sorted_gather,
+            )
 
-            h = edge_gated_aggregate_pallas(bh[src], m, dst, num_nodes)
+            sg_e = gather_nodes(src_gate, src, src_perm, src_perm_inv,
+                                num_nodes)
+            dg_e = sorted_gather(dst_gate, dst, num_nodes)
+        else:
+            sg_e = src_gate[src]
+            dg_e = dst_gate[dst]
+        m = sg_e + dg_e + Dense(f, dtype=self.dtype, name="edge_gate")(e)
+        bh = Dense(f, dtype=self.dtype, name="dst_update")(x)
+        if pallas and edge_weight is None and self.edge_axis is None:
+            from alignn_tpu.ops.pallas_eggc import (
+                edge_gated_aggregate_pallas,
+                gather_nodes,
+            )
+
+            bh_e = gather_nodes(bh, src, src_perm, src_perm_inv,
+                                num_nodes) if fuse_gathers else bh[src]
+            h = edge_gated_aggregate_pallas(bh_e, m, dst, num_nodes)
         else:
             sigma = nn.sigmoid(m)
             if edge_weight is not None:
@@ -268,15 +303,19 @@ class ALIGNNConv(nn.Module):
     @nn.compact
     def __call__(self, x, y, z, src, dst, lg_src, lg_dst,
                  node_mask=None, edge_mask=None, lg_mask=None,
-                 train: bool = True, edge_weight=None, lg_weight=None):
+                 train: bool = True, edge_weight=None, lg_weight=None,
+                 src_perm=None, src_perm_inv=None,
+                 lg_src_perm=None, lg_src_perm_inv=None):
         x, m = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
             dtype=self.dtype, name="node_update")(
             x, y, src, dst, node_mask=node_mask, edge_mask=edge_mask,
-            train=train, edge_weight=edge_weight)
+            train=train, edge_weight=edge_weight,
+            src_perm=src_perm, src_perm_inv=src_perm_inv)
         y, z = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
             dtype=self.dtype, name="edge_update")(
             m, z, lg_src, lg_dst, node_mask=edge_mask, edge_mask=lg_mask,
-            train=train, edge_weight=lg_weight)
+            train=train, edge_weight=lg_weight,
+            src_perm=lg_src_perm, src_perm_inv=lg_src_perm_inv)
         return x, y, z

@@ -193,12 +193,17 @@ class _Trunk(nn.Module):
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 node_mask=batch.node_mask, edge_mask=batch.edge_mask,
-                lg_mask=batch.lg_mask, train=train)
+                lg_mask=batch.lg_mask, train=train,
+                src_perm=batch.src_perm, src_perm_inv=batch.src_perm_inv,
+                lg_src_perm=batch.lg_src_perm,
+                lg_src_perm_inv=batch.lg_src_perm_inv)
         for i in range(cfg.gcn_layers):
             x, y = EdgeGatedGraphConv(cfg.hidden_features,
                                       name=f"gcn_layers_{i}", **kw)(
                 x, y, batch.src, batch.dst, node_mask=batch.node_mask,
-                edge_mask=batch.edge_mask, train=train)
+                edge_mask=batch.edge_mask, train=train,
+                src_perm=batch.src_perm,
+                src_perm_inv=batch.src_perm_inv)
         return x, y
 
 

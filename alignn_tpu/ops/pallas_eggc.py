@@ -291,6 +291,11 @@ def sorted_segment_sum(x, dst, num_nodes: int, use_pallas: bool = True):
 
 
 def _ssum_fwd(x, dst, num_nodes, use_pallas):
+    # route through the custom function itself so HIGHER-order
+    # differentiation of this fwd body re-enters the custom rules
+    # (otherwise grad-of-grad differentiates the raw op and its
+    # transpose lowers to an XLA scatter — the round-2 HLO audit
+    # caught exactly that)
     return sorted_segment_sum(x, dst, num_nodes, use_pallas), dst
 
 
@@ -308,7 +313,8 @@ def sorted_gather(x, dst, num_nodes: int, use_pallas: bool = True):
 
 
 def _gather_fwd(x, dst, num_nodes, use_pallas):
-    return x[dst], dst
+    # see _ssum_fwd: keep higher-order derivatives inside custom rules
+    return sorted_gather(x, dst, num_nodes, use_pallas), dst
 
 
 def _gather_bwd(num_nodes, use_pallas, dst, g):
@@ -316,6 +322,62 @@ def _gather_bwd(num_nodes, use_pallas, dst, g):
 
 
 sorted_gather.defvjp(_gather_fwd, _gather_bwd)
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """x[perm] whose transpose is the inverse permutation GATHER.
+
+    XLA lowers the transpose of a gather to a scatter even when the
+    indices are a permutation; this custom rule keeps every derivative
+    order gather-only (the VJP is permute_rows with the roles swapped).
+    """
+    return x[perm]
+
+
+def _perm_fwd(x, perm, inv_perm):
+    # see _ssum_fwd: keep higher-order derivatives inside custom rules
+    return permute_rows(x, perm, inv_perm), (perm, inv_perm)
+
+
+def _perm_bwd(res, g):
+    perm, inv_perm = res
+    return permute_rows(g, inv_perm, perm), None, None
+
+
+permute_rows.defvjp(_perm_fwd, _perm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gather_nodes(x, idx, perm, inv_perm, num_nodes: int,
+                 use_pallas: bool = True):
+    """x[idx] for UNSORTED idx with a sorted-scatter transpose.
+
+    `perm` is the stable argsort of `idx` (precomputed at batch build:
+    GraphBatch.src_perm / lg_src_perm).  The VJP permutes the cotangent
+    into idx-sorted order and reduces with the Pallas sorted-segment-sum
+    kernel — the gathers by `src`/`lg_src` in EGGC would otherwise
+    transpose to XLA serialized scatter-adds over the full [E|L, F]
+    table, which dominate the force-training backward.
+    """
+    return x[idx]
+
+
+def _gn_fwd(x, idx, perm, inv_perm, num_nodes, use_pallas):
+    # see _ssum_fwd: keep higher-order derivatives inside custom rules
+    return gather_nodes(x, idx, perm, inv_perm, num_nodes,
+                        use_pallas), (idx, perm, inv_perm)
+
+
+def _gn_bwd(num_nodes, use_pallas, res, g):
+    idx, perm, inv_perm = res
+    g_sorted = permute_rows(g, perm, inv_perm)
+    ids_sorted = idx[perm]
+    dx = sorted_segment_sum(g_sorted, ids_sorted, num_nodes, use_pallas)
+    return dx, None, None, None
+
+
+gather_nodes.defvjp(_gn_fwd, _gn_bwd)
 
 
 def _xla_forward(m, bh, dst, num_nodes):

@@ -273,12 +273,18 @@ def train_model(
         dumpjson(_per_sample_results(val_loader),
                  os.path.join(output_dir, "Val_results.json"))
     if config.store_outputs and len(train_loader):
-        # fixed order for the dump (epoch shuffling off)
-        was_shuffle = train_loader.shuffle
-        train_loader.shuffle = False
-        dumpjson(_per_sample_results(train_loader),
+        # fixed order, single-shard view for the dump (the eval step is
+        # unsharded; dp training hands out [D, ...]-stacked batches)
+        dump_loader = BucketedLoader(
+            train_loader.dataset, train_loader.batch_size,
+            shuffle=False, drop_last=False, spec=train_loader.spec,
+            atom_features=train_loader.atom_features,
+            target_width=train_loader.target_width,
+            atomwise_width=train_loader.atomwise_width,
+            additional_width=train_loader.additional_width,
+            extra_width=train_loader.extra_width)
+        dumpjson(_per_sample_results(dump_loader),
                  os.path.join(output_dir, "Train_results.json"))
-        train_loader.shuffle = was_shuffle
 
     # learning-curve plot (reference utils.py:24-47 surface)
     try:

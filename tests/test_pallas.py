@@ -138,3 +138,100 @@ def test_sorted_segment_sum_parity_and_grads():
     gx = jax.grad(lambda x: jnp.sum(x[dst] ** 2))(xn)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gx),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gather_nodes_and_permute_rows():
+    """Unsorted-gather custom op: forward = x[idx]; grads match the
+    plain-indexing implementation through second order (the transpose
+    runs as a sorted Pallas scatter via the precomputed permutation)."""
+    from alignn_tpu.ops.pallas_eggc import gather_nodes, permute_rows
+
+    rng = np.random.default_rng(0)
+    n_nodes, e, f = 256, 1500, 128
+    idx = jnp.asarray(rng.integers(0, n_nodes, size=e).astype(np.int32))
+    perm = jnp.asarray(np.argsort(np.asarray(idx),
+                                  kind="stable").astype(np.int32))
+    inv = np.empty(e, np.int32)
+    inv[np.asarray(perm)] = np.arange(e, dtype=np.int32)
+    inv = jnp.asarray(inv)
+    x = jnp.asarray(rng.standard_normal((n_nodes, f)).astype(np.float32))
+
+    out = gather_nodes(x, idx, perm, inv, n_nodes, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x[idx]))
+
+    def loss_fused(x):
+        return jnp.sum(jnp.sin(
+            gather_nodes(x, idx, perm, inv, n_nodes, True)) ** 2)
+
+    def loss_plain(x):
+        return jnp.sum(jnp.sin(x[idx]) ** 2)
+
+    g_f = jax.grad(loss_fused)(x)
+    g_p = jax.grad(loss_plain)(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_p),
+                               rtol=1e-5, atol=1e-6)
+    gg_f = jax.grad(lambda x: jnp.sum(jax.grad(loss_fused)(x) ** 2))(x)
+    gg_p = jax.grad(lambda x: jnp.sum(jax.grad(loss_plain)(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gg_f), np.asarray(gg_p),
+                               rtol=1e-3, atol=1e-4)
+
+    # permutation op: transpose is the inverse permutation
+    y = jnp.asarray(rng.standard_normal((e, 4)).astype(np.float32))
+    g = jax.grad(lambda y: jnp.sum(permute_rows(y, perm, inv)
+                                   * jnp.arange(e)[:, None]))(y)
+    expect = jnp.arange(e)[:, None] * jnp.ones((1, 4))
+    np.testing.assert_allclose(np.asarray(g),
+                               np.asarray(expect[inv]), rtol=1e-6)
+
+
+def test_full_model_grads_with_fused_gathers():
+    """ALIGNNAtomWise force training with use_pallas forced on (CPU
+    interpret): grads wrt params match the plain-gather path."""
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.nn import layers as L
+    from alignn_tpu.nn.models import (
+        ALIGNNAtomWise,
+        ALIGNNAtomWiseConfig,
+        atomwise_forward,
+    )
+
+    rng = np.random.default_rng(0)
+    a = Atoms(lattice_mat=np.eye(3) * 4.0,
+              frac_coords=np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+              + 0.01 * rng.standard_normal((2, 3)),
+              elements=["Na", "Cl"])
+    g = build_graph(a, cutoff=5.0, max_neighbors=12)
+    g.target = np.array([0.3])
+    g.forces = 0.05 * rng.standard_normal((2, 3))
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=128, embedding_features=64, gradwise_weight=1.0,
+        stresswise_weight=0.1)
+
+    outs = {}
+    for tag, forced in (("fused", True), ("plain", False)):
+        orig = L.pallas_default
+        L.pallas_default = lambda: forced
+        try:
+            model = ALIGNNAtomWise(cfg=cfg)
+            variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                                   train=False)
+
+            def loss(params):
+                res = atomwise_forward(
+                    model, {"params": params}, batch, train=False)
+                return (jnp.sum(res["out"][:1] ** 2)
+                        + jnp.sum(res["grad"] ** 2)
+                        + jnp.sum(res["stresses"] ** 2))
+
+            outs[tag] = jax.grad(loss)(variables["params"])
+        finally:
+            L.pallas_default = orig
+    flat_f = jax.tree_util.tree_leaves(outs["fused"])
+    flat_p = jax.tree_util.tree_leaves(outs["plain"])
+    for af, ap in zip(flat_f, flat_p):
+        np.testing.assert_allclose(np.asarray(af), np.asarray(ap),
+                                   rtol=2e-3, atol=2e-5)
