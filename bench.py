@@ -71,9 +71,12 @@ def main():
 
     dtype = None if os.environ.get("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
     model = ALIGNNAtomWise(cfg=cfg, dtype=dtype)
-    # batch 128 saturates the chip (batch-size sweep in BENCH_NOTES.md:
-    # 32 -> 13M, 64 -> 29M, 128 -> 51M, 256 -> 44M edges/s)
-    batch = build_batch(batch_size=128)
+    # batch 64 = the reference's default training batch size.  Honest
+    # (device_get-fenced) batch sweep in BENCH_NOTES.md round 2:
+    # 32 -> 1.62M, 64 -> 1.51M, 128 -> 1.38M, 256 -> 0.92M edges/s —
+    # throughput FALLS with batch size (super-linear step growth at
+    # large L; round-3 investigation item).
+    batch = build_batch(batch_size=64)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
     step = make_train_step(model, criterion="l1", donate=False)
