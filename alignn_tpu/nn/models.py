@@ -60,6 +60,8 @@ class ALIGNNConfig:
     classification: bool = False
     num_classes: int = 2
     extra_features: int = 0
+    # TPU extension: per-layer rematerialization (memory vs recompute)
+    remat_layers: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ALIGNNConfig":
@@ -107,6 +109,8 @@ class ALIGNNAtomWiseConfig:
     penalty_threshold: float = 1.0
     additional_output_features: int = 0
     additional_output_weight: float = 0.0
+    # TPU extension: per-layer rematerialization (memory vs recompute)
+    remat_layers: bool = False
 
     def __post_init__(self):
         # reference alignn_atomwise.py:267-268
@@ -188,8 +192,17 @@ class _Trunk(nn.Module):
         cfg = self.cfg
         kw = dict(norm=self.norm, axis_name=self.axis_name,
                   dtype=self.dtype)
+        # opt-in per-layer rematerialization (cfg.remat_layers): trades
+        # recompute for a ~layers-x smaller residual set — the lever for
+        # the super-linear step-time growth at large L(g) (BENCH_NOTES
+        # round-2 batch sweep)
+        remat = bool(getattr(cfg, "remat_layers", False))
+        alignn_cls = nn.remat(ALIGNNConv, static_argnums=()) if remat \
+            else ALIGNNConv
+        eggc_cls = nn.remat(EdgeGatedGraphConv, static_argnums=()) \
+            if remat else EdgeGatedGraphConv
         for i in range(cfg.alignn_layers):
-            x, y, z = ALIGNNConv(cfg.hidden_features,
+            x, y, z = alignn_cls(cfg.hidden_features,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 node_mask=batch.node_mask, edge_mask=batch.edge_mask,
@@ -198,8 +211,8 @@ class _Trunk(nn.Module):
                 lg_src_perm=batch.lg_src_perm,
                 lg_src_perm_inv=batch.lg_src_perm_inv)
         for i in range(cfg.gcn_layers):
-            x, y = EdgeGatedGraphConv(cfg.hidden_features,
-                                      name=f"gcn_layers_{i}", **kw)(
+            x, y = eggc_cls(cfg.hidden_features,
+                            name=f"gcn_layers_{i}", **kw)(
                 x, y, batch.src, batch.dst, node_mask=batch.node_mask,
                 edge_mask=batch.edge_mask, train=train,
                 src_perm=batch.src_perm,
