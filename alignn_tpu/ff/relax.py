@@ -195,7 +195,46 @@ def lbfgs_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
     return a, float(energy), steps
 
 
-OPTIMIZERS = {"fire": fire_relax, "lbfgs": lbfgs_relax}
+def mdmin_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
+                optimize_lattice: bool = False,
+                scalar_pressure: float = 0.0,
+                dt: float = 0.2, maxstep: float = 0.2,
+                trajectory: Optional[list] = None,
+                logger=None) -> Tuple[Atoms, float, int]:
+    """MDMin (ASE semantics): velocity Verlet with the velocity
+    projected onto the force direction, zeroed when anti-parallel."""
+    sys = _DofSystem(calc, atoms, optimize_lattice, scalar_pressure)
+    ndof = sys.n + (3 if optimize_lattice else 0)
+    v = np.zeros((ndof, 3))
+    energy = np.inf
+    for it in range(steps):
+        energy, forces, a = sys.energy_and_forces()
+        fnorm = float(np.sqrt((forces ** 2).sum(axis=1).max()))
+        if logger is not None:
+            logger(it, energy, fnorm)
+        if trajectory is not None:
+            trajectory.append({"energy": float(energy), "fmax": fnorm,
+                               "atoms": a.to_dict()})
+        if fnorm < fmax:
+            return a, float(energy), it
+        v = v + dt * forces
+        power = float((v * forces).sum())
+        if power > 0:
+            # project velocity onto the force direction (ASE MDMin)
+            v = forces * power / max(float((forces ** 2).sum()), 1e-12)
+        else:
+            v[:] = 0.0
+        dr = dt * v
+        maxd = float(np.sqrt((dr ** 2).sum(axis=1).max()))
+        if maxd > maxstep:
+            dr = dr * (maxstep / max(maxd, 1e-12))
+        sys.displace(dr)
+    energy, _forces, a = sys.energy_and_forces()
+    return a, float(energy), steps
+
+
+OPTIMIZERS = {"fire": fire_relax, "lbfgs": lbfgs_relax,
+              "mdmin": mdmin_relax}
 
 
 def relax(calc, atoms: Atoms, optimizer: str = "fire", **kwargs):

@@ -340,3 +340,17 @@ def test_fc3_symmetry_and_kappa(calc, nacl):
     if k[0] > 0:
         # Slack model: kappa ~ 1/T
         assert k[0] > k[1] > k[2]
+
+
+def test_mdmin_relax(calc, nacl):
+    from alignn_tpu.ff.relax import relax
+
+    perturbed = nacl.with_positions(
+        cart_coords=nacl.cart_coords
+        + 0.06 * np.random.default_rng(1).standard_normal((2, 3)))
+    f0 = float(np.abs(calc.calculate(perturbed)["forces"]).max())
+    atoms, energy, n = relax(calc, perturbed, optimizer="mdmin",
+                             fmax=0.02, steps=120)
+    f1 = float(np.sqrt(
+        (calc.calculate(atoms)["forces"] ** 2).sum(axis=1)).max())
+    assert f1 < max(0.02, 0.6 * f0)
