@@ -87,7 +87,7 @@ _NORM_MAP = {"weight": "scale", "bias": "bias",
              "running_mean": "mean", "running_var": "var"}
 
 
-def _convert_entries(sd: Dict[str, np.ndarray]):
+def _convert_entries(sd: Dict[str, np.ndarray], layout: str = "nested"):
     """Yield (flax_path_tuple, collection, array) per torch entry.
 
     Reference module naming (verified against models/alignn.py:69-76,
@@ -148,23 +148,28 @@ def _convert_entries(sd: Dict[str, np.ndarray]):
             parts = parts[1:]
         head = parts[0]
 
+        # layout="nested": ALIGNN/ALIGNNAtomWise tree (embeddings/ +
+        # trunk/ submodules); layout="flat": eALIGNNAtomWise tree
+        # (everything at top level, nn/ealignn.py)
+        emb_prefix = () if layout == "flat" else ("embeddings",)
+        trunk_prefix = () if layout == "flat" else ("trunk",)
         out = None
         if head == "atom_embedding":
-            out = mlp(("embeddings", "atom_embedding"), parts[1:], arr)
+            out = mlp(emb_prefix + ("atom_embedding",), parts[1:], arr)
         elif head in ("edge_embedding", "angle_embedding"):
             # Sequential(RBF, MLPLayer, MLPLayer): indices 1, 2
             seq_idx = parts[1]
             if seq_idx != "0":  # RBF has no params
-                dest = ("embeddings", f"{head}_{int(seq_idx) - 1}")
+                dest = emb_prefix + (f"{head}_{int(seq_idx) - 1}",)
                 out = mlp(dest, parts[2:], arr)
         elif head == "extra_feature_embedding":
             out = mlp(("extra_feature_embedding",), parts[1:], arr)
         elif head == "alignn_layers":
             n, sub = parts[1], parts[2]
-            out = eggc(("trunk", f"alignn_layers_{n}", sub),
+            out = eggc(trunk_prefix + (f"alignn_layers_{n}", sub),
                        parts[3:], arr)
         elif head == "gcn_layers":
-            out = eggc(("trunk", f"gcn_layers_{parts[1]}"),
+            out = eggc(trunk_prefix + (f"gcn_layers_{parts[1]}",),
                        parts[2:], arr)
         elif head in ("fc", "fc1", "fc2", "fc3", "fc_atomwise",
                       "fc_additional_output"):
@@ -181,8 +186,12 @@ def _convert_entries(sd: Dict[str, np.ndarray]):
         # unknown entries are skipped (e.g. link params absent here)
 
 
-def convert_torch_checkpoint(pt_path: str) -> Tuple[Dict, Dict]:
-    """Load a reference .pt checkpoint -> (params, batch_stats) trees."""
+def convert_torch_checkpoint(pt_path: str,
+                             layout: str = "nested") -> Tuple[Dict, Dict]:
+    """Load a reference .pt checkpoint -> (params, batch_stats) trees.
+
+    layout="nested" for ALIGNN/ALIGNNAtomWise, "flat" for eALIGNN.
+    """
     import torch
 
     obj = torch.load(pt_path, map_location="cpu", weights_only=False)
@@ -193,7 +202,7 @@ def convert_torch_checkpoint(pt_path: str) -> Tuple[Dict, Dict]:
           for k, v in sd.items()}
     params_flat: Dict[Tuple[str, ...], np.ndarray] = {}
     stats_flat: Dict[Tuple[str, ...], np.ndarray] = {}
-    for entry in _convert_entries(sd):
+    for entry in _convert_entries(sd, layout=layout):
         if entry is None:
             continue
         path, coll, arr = entry

@@ -231,3 +231,114 @@ def test_property_model_matches_reference_source(tmp_path, x64, graphs,
                         jax_batch, train=False)
     np.testing.assert_allclose(np.asarray(jout)[:n_graphs, 0],
                                tout.detach(), rtol=1e-8, atol=1e-10)
+
+
+def test_ealignn_matches_reference_source(tmp_path, x64):
+    """eALIGNN vs ealignn_atomwise.py itself (single graph, B=1).
+
+    The reference prunes edges > inner_cutoff by REBUILDING the graph
+    (lightweight_line_graph) while this framework masks them in place —
+    numerically identical; the reference's batch-global torque removal
+    equals our per-graph version at batch size 1.  `images` feed the
+    torch model as CARTESIAN offsets, the convention its
+    compute_pair_vector_and_distance assumes (models/utils.py:47-55).
+    """
+    from alignn_tpu.nn.ealignn import (
+        eALIGNNAtomWise as JEALIGNN,
+        eALIGNNAtomWiseConfig as JECfg,
+        ealignn_forward,
+    )
+    from tools.ref_oracle import fake_dgl
+
+    ref = load_reference_models()
+    import importlib
+
+    ref_e = importlib.import_module("alignn.models.ealignn_atomwise")
+
+    rng = np.random.default_rng(0)
+    from alignn_tpu.chem.atoms import Atoms as JAtoms
+
+    atoms = JAtoms(
+        lattice_mat=np.eye(3) * 4.1,
+        frac_coords=np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+        + 0.02 * rng.standard_normal((2, 3)),
+        elements=["Na", "Cl"])
+    g = build_graph(atoms, cutoff=5.0, max_neighbors=12)
+    n_nodes = g.num_nodes
+    spec = BucketSpec.tight_for_batch([g])
+    jbatch = batch_graphs([g], spec, atom_features="cgcnn",
+                          dtype=np.float64)
+
+    # torch-side single graph with cartesian image offsets
+    table = attribute_lookup_table("cgcnn")
+    fg = fake_dgl.DGLGraph(torch.as_tensor(np.asarray(g.src)),
+                           torch.as_tensor(np.asarray(g.dst)), n_nodes)
+    fg.ndata["atom_features"] = torch.as_tensor(
+        table[np.asarray(g.z)], dtype=torch.float64)
+    fg.ndata["frac_coords"] = torch.as_tensor(
+        np.asarray(g.frac_coords), dtype=torch.float64)
+    fg.ndata["V"] = torch.full((n_nodes,), float(g.volume),
+                               dtype=torch.float64)
+    fg.edata["r"] = torch.as_tensor(np.asarray(g.r), dtype=torch.float64)
+    fg.edata["images"] = torch.as_tensor(
+        np.asarray(g.images) @ np.asarray(g.lattice),
+        dtype=torch.float64)
+    flg = fake_dgl.DGLGraph(torch.as_tensor(np.asarray(g.lg_src)),
+                            torch.as_tensor(np.asarray(g.lg_dst)),
+                            g.num_edges)
+    lat = torch.as_tensor(np.asarray(g.lattice),
+                          dtype=torch.float64).unsqueeze(0)
+
+    # oracle-precision patch: the reference builds cart_coords in f32
+    # regardless of model dtype (models/utils.py:88 dtype default) —
+    # run it in f64 like everything else in this test
+    import functools
+
+    ref_e.compute_cartesian_coordinates = functools.partial(
+        ref.utils.compute_cartesian_coordinates, dtype=torch.float64)
+
+    kw = dict(alignn_layers=2, gcn_layers=2, atom_input_features=92,
+              hidden_features=HIDDEN, embedding_features=EMBED,
+              stresswise_weight=0.1, inner_cutoff=3.0,
+              remove_torque=True)
+    torch.manual_seed(0)
+    tmodel = ref_e.eALIGNNAtomWise(
+        ref_e.eALIGNNAtomWiseConfig(name="ealignn_atomwise",
+                                    **kw)).double().eval()
+    _exactify_rbf(tmodel)
+    tacts = {}
+    for i, layer in enumerate(tmodel.alignn_layers):
+        layer.register_forward_hook(
+            lambda m, inp, out, i=i: tacts.__setitem__(f"alignn_{i}", out))
+    # remove_net_torque creates f32 zeros/eye internally; run the whole
+    # reference forward under a f64 default dtype (oracle precision)
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        tres = tmodel((fg, flg, lat))
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+    jcfg = JECfg(**kw)
+    jmodel = JEALIGNN(cfg=jcfg)
+    variables = jmodel.init(jax.random.PRNGKey(0), jbatch,
+                            jbatch.frac_coords, train=False)
+    params = _to_f64(variables["params"])
+    path = str(tmp_path / "ref_e.pt")
+    torch.save(tmodel.state_dict(), path)
+    converted, _stats = convert_torch_checkpoint(path, layout="flat")
+    params, report = merge_converted(params, converted)
+    assert not report["missing"] and not report["mismatched"], report
+    params = _to_f64(params)
+
+    jres = ealignn_forward(jmodel, {"params": params}, jbatch,
+                           train=False)
+    np.testing.assert_allclose(np.asarray(jres["out"])[:1, 0],
+                               np.atleast_1d(tres["out"].detach()),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jres["grad"])[:n_nodes],
+                               tres["grad"].detach(),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(jres["stresses"])[:1],
+                               tres["stresses"].detach(),
+                               rtol=1e-6, atol=1e-8)
