@@ -46,6 +46,33 @@ DATASETS = (
 FEATURESET_SIZE = {"basic": 11, "atomic_number": 1, "cfid": 438, "cgcnn": 92}
 
 
+# Known target names (factual registry extracted from the reference's
+# TARGET_ENUM, `alignn/config.py:26-122` — data, not code; used for a
+# soft validation warning in TrainingConfig.__post_init__).
+TARGET_ENUM = frozenset([
+    "formation_energy_peratom", "optb88vdw_bandgap", "bulk_modulus_kv",
+    "shear_modulus_gv", "mbj_bandgap", "slme", "magmom_oszicar",
+    "spillage", "kpoint_length_unit", "encut", "optb88vdw_total_energy",
+    "epsx", "epsy", "epsz", "mepsx", "mepsy", "mepsz", "max_ir_mode",
+    "min_ir_mode", "n-Seebeck", "p-Seebeck", "n-powerfact", "p-powerfact",
+    "ncond", "pcond", "nkappa", "pkappa", "ehull", "exfoliation_energy",
+    "dfpt_piezo_max_dielectric", "dfpt_piezo_max_eij",
+    "dfpt_piezo_max_dij", "gap pbe", "e_form", "e_hull",
+    "energy_per_atom", "formation_energy_per_atom", "band_gap",
+    "e_above_hull", "mu_b", "bulk modulus", "shear modulus",
+    "elastic anisotropy", "U0", "HOMO", "LUMO", "R2", "ZPVE", "omega1",
+    "mu", "alpha", "homo", "lumo", "gap", "r2", "zpve", "U", "H", "G",
+    "Cv", "A", "B", "C", "all", "target", "max_efg", "avg_elec_mass",
+    "avg_hole_mass", "_oqmd_band_gap", "_oqmd_delta_e",
+    "_oqmd_stability", "edos_up", "pdos_elast", "bandgap",
+    "energy_total", "net_magmom", "b3lyp_homo", "b3lyp_lumo",
+    "b3lyp_gap", "b3lyp_scharber_pce", "b3lyp_scharber_voc",
+    "b3lyp_scharber_jsc", "log_kd_ki", "max_co2_adsp", "min_co2_adsp",
+    "lcd", "pld", "void_fraction", "surface_area_m2g",
+    "surface_area_m2cm3", "indir_gap", "f_enp", "final_energy", "ead",
+])
+
+
 def _strict_from_dict(cls, d: Dict[str, Any]):
     known = {f.name for f in dataclasses.fields(cls)}
     unknown = set(d) - known - {"version"}
@@ -149,6 +176,15 @@ class TrainingConfig:
                     setattr(self, f.name, env)
         if self.atom_features not in FEATURESET_SIZE:
             raise ValueError(f"unknown atom_features: {self.atom_features}")
+        # target-name validation (reference TARGET_ENUM, config.py:26-122):
+        # a warning, not an error — folder training uses free-form keys
+        if self.target not in TARGET_ENUM and self.dataset != "user_data":
+            import warnings
+
+            warnings.warn(
+                f"target '{self.target}' is not in the reference's known "
+                f"target list (dataset {self.dataset!r}); proceeding",
+                stacklevel=2)
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
