@@ -143,6 +143,11 @@ def filter_records(
     return out
 
 
+def _build_chunk(recs, kwargs):
+    """Picklable chunk builder for the windowed pool submission."""
+    return [_build_one((r, kwargs)) for r in recs]
+
+
 def _build_one(args) -> GraphData:
     rec, kwargs = args
     atoms = Atoms.from_dict(rec["atoms"])
@@ -215,25 +220,46 @@ def records_to_graphs_iter(
 ):
     """Streaming variant of :func:`records_to_graphs` (O(1) memory).
 
-    Yields graphs in record order; with num_workers > 1 the pool maps
-    lazily so at most a few chunks are in flight.  Used by the cache
-    ingest path so 300k-structure datasets never materialize in RAM.
+    Yields graphs in record order.  With num_workers > 1, submission is
+    WINDOWED (at most ~4 chunks per worker in flight) — stdlib
+    `Executor.map` submits every job eagerly and pins completed,
+    unconsumed results, which would grow toward O(N) graphs in RAM when
+    the consumer (pack + disk append) is slower than the pool.  Used by
+    the cache ingest path so 300k-structure datasets stay O(window).
     """
     kwargs = dict(
         neighbor_strategy=neighbor_strategy, cutoff=cutoff,
         max_neighbors=max_neighbors, use_canonize=use_canonize,
         compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra)
-    jobs = ((rec, kwargs) for rec in records)
     if num_workers and num_workers > 1 and len(records) > 8:
-        with ProcessPoolExecutor(max_workers=num_workers) as ex:
-            it = ex.map(_build_one, jobs, chunksize=16)
-            if progress:
-                from tqdm import tqdm
+        from collections import deque
 
-                it = tqdm(it, total=len(records), desc="graphs")
-            yield from it
-            return
-    it = map(_build_one, jobs)
+        chunk = 16
+        window = max(num_workers * 4, 4)
+        prog = None
+        if progress:
+            from tqdm import tqdm
+
+            prog = tqdm(total=len(records), desc="graphs")
+
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            pending = deque()
+            idx = 0
+            n = len(records)
+            while idx < n or pending:
+                while idx < n and len(pending) < window:
+                    recs = list(records[idx: idx + chunk])
+                    pending.append(ex.submit(_build_chunk, recs, kwargs))
+                    idx += len(recs)
+                done = pending.popleft()
+                for g in done.result():  # in-order consumption
+                    if prog is not None:
+                        prog.update(1)
+                    yield g
+        if prog is not None:
+            prog.close()
+        return
+    it = map(_build_one, ((rec, kwargs) for rec in records))
     if progress:
         from tqdm import tqdm
 
@@ -298,7 +324,13 @@ class GraphDataset:
         """Apply (t - mean)/std to every target, eager or lazy."""
         std = std if std > 0 else 1.0
         if isinstance(self.graphs, LazyCacheView):
-            def transform(g, _mean=mean, _std=std):
+            prev = self.graphs.transform
+
+            def transform(g, _mean=mean, _std=std, _prev=prev):
+                # compose with any prior transform so repeated scaling
+                # matches the eager path (and the metadata targets)
+                if _prev is not None:
+                    g = _prev(g)
                 if g.target is not None:
                     g.target = (np.atleast_1d(g.target) - _mean) / _std
                 return g

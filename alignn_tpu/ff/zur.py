@@ -90,12 +90,16 @@ def zur_matches(film_ab: np.ndarray, sub_ab: np.ndarray,
     max_n_sub = max(int(max_area / a_sub), 1)
     for n_sub in range(1, max_n_sub + 1):
         area = n_sub * a_sub
-        # film multiple that best matches this area, within length tol^2
-        n_film = max(int(round(area / a_film)), 1)
-        if abs(n_film * a_film - area) / area > 2 * max_length_tol + \
-                max_length_tol ** 2:
-            continue
-        for tf in _hnf_transforms(n_film):
+        # candidate film multiples bracketing the area ratio (Zur/ZSL
+        # enumerates all pairs within tolerance; floor AND ceil cover
+        # the near-half-integer ratios a single round() would miss)
+        ratio = area / a_film
+        candidates = sorted({max(int(np.floor(ratio)), 1),
+                             max(int(np.ceil(ratio)), 1)})
+        area_tol = 2 * max_length_tol + max_length_tol ** 2
+        n_films = [n for n in candidates
+                   if abs(n * a_film - area) / area <= area_tol]
+        for tf in (t for n in n_films for t in _hnf_transforms(n)):
             f_sl = tf.astype(np.float64) @ film_ab
             fu, fv, mf = _reduce_vectors(f_sl[0], f_sl[1])
             for ts in _hnf_transforms(n_sub):

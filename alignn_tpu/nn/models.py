@@ -194,27 +194,29 @@ class _Trunk(nn.Module):
                   dtype=self.dtype)
         # opt-in per-layer rematerialization (cfg.remat_layers): trades
         # recompute for a ~layers-x smaller residual set — the lever for
-        # the super-linear step-time growth at large L(g) (BENCH_NOTES
-        # round-2 batch sweep)
+        # genuinely memory-limited configs (BENCH_NOTES round-2 batch
+        # sweep; note it measured SLOWER at bench scales).  `train` must
+        # be a STATIC arg (flax static_argnums counts self at 0, so the
+        # positional `train` slots land at 11 / 7) — BatchNorm branches
+        # on it and a traced bool crashes at trace time.
         remat = bool(getattr(cfg, "remat_layers", False))
-        alignn_cls = nn.remat(ALIGNNConv, static_argnums=()) if remat \
+        alignn_cls = nn.remat(ALIGNNConv, static_argnums=(11,)) if remat \
             else ALIGNNConv
-        eggc_cls = nn.remat(EdgeGatedGraphConv, static_argnums=()) \
+        eggc_cls = nn.remat(EdgeGatedGraphConv, static_argnums=(7,)) \
             if remat else EdgeGatedGraphConv
         for i in range(cfg.alignn_layers):
             x, y, z = alignn_cls(cfg.hidden_features,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
-                node_mask=batch.node_mask, edge_mask=batch.edge_mask,
-                lg_mask=batch.lg_mask, train=train,
+                batch.node_mask, batch.edge_mask, batch.lg_mask, train,
                 src_perm=batch.src_perm, src_perm_inv=batch.src_perm_inv,
                 lg_src_perm=batch.lg_src_perm,
                 lg_src_perm_inv=batch.lg_src_perm_inv)
         for i in range(cfg.gcn_layers):
             x, y = eggc_cls(cfg.hidden_features,
                             name=f"gcn_layers_{i}", **kw)(
-                x, y, batch.src, batch.dst, node_mask=batch.node_mask,
-                edge_mask=batch.edge_mask, train=train,
+                x, y, batch.src, batch.dst, batch.node_mask,
+                batch.edge_mask, train,
                 src_perm=batch.src_perm,
                 src_perm_inv=batch.src_perm_inv)
         return x, y

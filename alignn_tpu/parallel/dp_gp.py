@@ -109,10 +109,13 @@ def make_dp_gp_train_step(model_cfg, mesh: Mesh,
     from alignn_tpu.parallel.gp_batch import make_stacked_ring
 
     compiled = {}
+    steps_floor = [None]  # monotone ring-step floor -> bounded recompiles
 
     def step(state: TrainState, batch: GraphBatch, ring=None):
         if ring is None:
-            ring = make_stacked_ring(batch, gp_size)
+            ring = make_stacked_ring(batch, gp_size,
+                                     min_steps=steps_floor[0])
+            steps_floor[0] = ring.steps
         key = (ring.steps, ring.n_shards)
         if key not in compiled:
             compiled[key] = jax.jit(shard_map(

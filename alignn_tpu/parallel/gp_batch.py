@@ -126,11 +126,15 @@ def make_ring_index(batch: GraphBatch, n_shards: int,
 
 
 def make_stacked_ring(stacked: GraphBatch, n_shards: int,
-                      quantum: int = 128) -> RingIndex:
+                      quantum: int = 128,
+                      min_steps: tuple | None = None) -> RingIndex:
     """Ring indices for a [D_data, ...]-stacked batch (dp x gp mesh).
 
     All rows share one static per-step size tuple (elementwise max over
-    rows) so the 2-D train step compiles once.
+    rows, floored by `min_steps`).  Callers keep a monotone `min_steps`
+    floor across batches so the jit cache stays bounded (shuffled
+    batches would otherwise produce a fresh steps tuple — and a fresh
+    XLA compile — almost every step).
     """
     import jax
 
@@ -139,6 +143,8 @@ def make_stacked_ring(stacked: GraphBatch, n_shards: int,
             for i in range(n_rows)]
     rings = [make_ring_index(row, n_shards, quantum) for row in rows]
     steps = tuple(max(r.steps[k] for r in rings) for k in range(n_shards))
+    if min_steps is not None:
+        steps = tuple(max(a, b) for a, b in zip(steps, min_steps))
     rings = [r if r.steps == steps else
              make_ring_index(row, n_shards, quantum, steps=steps)
              for r, row in zip(rings, rows)]

@@ -30,8 +30,6 @@ from alignn_tpu.nn.layers import (
     Dense,
     EdgeGatedGraphConv,
     MaskedLayerNorm,
-    MLPLayer,
-    RBFExpansion,
 )
 from alignn_tpu.nn.models import ALIGNNAtomWiseConfig, atomwise_heads
 from alignn_tpu.ops.basis import cutoff_function_based_edges
@@ -140,38 +138,6 @@ class _GPALIGNNConv(nn.Module):
         return x, y, z
 
 
-class _GPEmbeddings(nn.Module):
-    """Embedding stack; module names mirror models._Embeddings."""
-
-    cfg: ALIGNNAtomWiseConfig
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, atom_features, rbf_input, cosines,
-                 train: bool = True, edge_scale=None):
-        cfg = self.cfg
-        kw = dict(norm="layernorm", dtype=self.dtype)
-        x = MLPLayer(cfg.hidden_features, name="atom_embedding", **kw)(
-            atom_features, train=train)
-        rb = RBFExpansion(vmin=0.0, vmax=8.0,
-                          bins=cfg.edge_input_features,
-                          name="edge_rbf")(rbf_input)
-        y = MLPLayer(cfg.embedding_features, name="edge_embedding_0",
-                     **kw)(rb, train=train)
-        y = MLPLayer(cfg.hidden_features, name="edge_embedding_1",
-                     **kw)(y, train=train)
-        if edge_scale is not None:
-            y = y * edge_scale[:, None]
-        ab = RBFExpansion(vmin=-1.0, vmax=1.0,
-                          bins=cfg.triplet_input_features,
-                          name="angle_rbf")(cosines)
-        z = MLPLayer(cfg.embedding_features, name="angle_embedding_0",
-                     **kw)(ab, train=train)
-        z = MLPLayer(cfg.hidden_features, name="angle_embedding_1",
-                     **kw)(z, train=train)
-        return x, y, z
-
-
 class _GPTrunk(nn.Module):
     """ALIGNN + GCN stacks; module names mirror models._Trunk."""
 
@@ -230,9 +196,16 @@ class GPALIGNNAtomWise(nn.Module):
                     bondlength, inner_cutoff=cfg.inner_cutoff,
                     exponent=cfg.exponent)
 
-        x, y, z = _GPEmbeddings(cfg, dtype=self.dtype,
-                                name="embeddings")(
-            batch.atom_features, rbf_input, cosines, train=train,
+        # reuse the dense model's embedding stack verbatim (same module
+        # names -> same parameter tree; masks only affect batchnorm and
+        # this flavor is layernorm).  lg_mask is swapped for the
+        # ring-ordered mask so shapes line up with the ring cosines.
+        from alignn_tpu.nn.models import _Embeddings
+
+        emb_batch = batch.replace(lg_mask=ring.lg_mask[0])
+        x, y, z = _Embeddings(cfg, norm="layernorm", dtype=self.dtype,
+                              name="embeddings")(
+            emb_batch, rbf_input, cosines, train=train,
             edge_scale=edge_scale)
         x, y = _GPTrunk(cfg, axis_name=self.axis_name, dtype=self.dtype,
                         name="trunk")(batch, x, y, z, ring, train=train)

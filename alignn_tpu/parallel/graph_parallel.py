@@ -149,10 +149,19 @@ def make_gp_forward(model_cfg: ALIGNNAtomWiseConfig, mesh: Mesh,
         return out, forces, stress
 
     compiled = {}
+    steps_floor = [None]  # monotone ring-step floor -> bounded recompiles
 
     def fwd(batch: GraphBatch, ring=None):
         if ring is None:
-            ring = make_ring_index(batch, n_devices)
+            needed = make_ring_index(batch, n_devices)
+            if steps_floor[0] is not None:
+                floored = tuple(max(a, b) for a, b in
+                                zip(needed.steps, steps_floor[0]))
+                if floored != needed.steps:
+                    needed = make_ring_index(batch, n_devices,
+                                             steps=floored)
+            steps_floor[0] = needed.steps
+            ring = needed
         key = (ring.steps, ring.n_shards)
         if key not in compiled:
             compiled[key] = jax.jit(shard_map(

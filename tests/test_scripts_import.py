@@ -19,7 +19,7 @@ SCRIPTS = [
 @pytest.mark.parametrize("name", SCRIPTS)
 def test_script_imports(name):
     mod = importlib.import_module(f"alignn_tpu.scripts.{name}")
-    assert hasattr(mod, "main") or hasattr(mod, "generate") or True
+    assert hasattr(mod, "main") or hasattr(mod, "generate"), name
 
 
 def test_plot_ff_training_smoke(tmp_path):
