@@ -98,6 +98,12 @@ class BucketedLoader:
         # seeded permutation and takes its strided slice
         self.host_id = host_id
         self.num_hosts = max(num_hosts, 1)
+        # monotone floor over the static gather windows (GraphBatch
+        # win_*): shuffled batches would otherwise flap between window
+        # values and trigger fresh XLA compiles; raising a window is
+        # always safe (it still covers the span).  0 stays 0 for the
+        # step it occurs (fallback), without lowering the floor.
+        self._win_floor: dict = {}
         if spec is None and len(dataset) > 0:
             counts = dataset.metadata.get("counts")
             if counts is not None:
@@ -139,16 +145,35 @@ class BucketedLoader:
             additional_width=self.additional_width,
             extra_width=self.extra_width)
 
+    _WIN_FIELDS = ("win_src", "win_dst", "win_src_sorted",
+                   "win_lg_src", "win_lg_dst", "win_lg_src_sorted")
+
+    def _floor_windows(self, batches) -> dict:
+        """Unified window set: max across shards + monotone loader floor."""
+        out = {}
+        for name in self._WIN_FIELDS:
+            vals = [getattr(b, name) for b in batches]
+            w = 0 if any(v == 0 for v in vals) else max(vals)
+            if w:
+                w = max(w, self._win_floor.get(name, 0))
+                self._win_floor[name] = w
+            out[name] = w
+        return out
+
     def _batch_for_step(self, order, s: int) -> GraphBatch:
         full = self.batch_size * self.num_shards
         chunk = order[s * full:(s + 1) * full]
         if self.num_shards == 1:
-            return self._make_batch(chunk)
+            b = self._make_batch(chunk)
+            return b.replace(**self._floor_windows([b]))
         shards = [
             self._make_batch(
                 chunk[d * self.batch_size:(d + 1) * self.batch_size])
             for d in range(self.num_shards)
         ]
+        # static fields must match across shards for tree_map stacking
+        wins = self._floor_windows(shards)
+        shards = [b.replace(**wins) for b in shards]
         return jax.tree_util.tree_map(
             lambda *xs: np.stack(xs, axis=0), *shards)
 

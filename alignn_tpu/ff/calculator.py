@@ -222,7 +222,8 @@ class Calculator:
         if self._fn is None:
             self._fn = make_fn()
         batch = batch_graphs([g], self._spec,
-                             atom_features=self.atom_features)
+                             atom_features=self.atom_features,
+                             gather_windows=False)
         return batch, self._fn
 
     def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:

@@ -142,7 +142,8 @@ def run_md_jit(model, variables, atoms: Atoms,
                             // 512) * 512,
                 n_graphs=2)
             chunk_cache.clear()
-        batch = batch_graphs([g], spec, atom_features=atom_features)
+        batch = batch_graphs([g], spec, atom_features=atom_features,
+                             gather_windows=False)
         n_pad = batch.z.shape[0]
         masses = np.zeros(n_pad)
         masses[: cur.num_atoms] = masses_np

@@ -155,7 +155,8 @@ def batch_relax(model, variables, atoms_list: List[Atoms],
                               n_edges=spec.n_edges,
                               n_lg_edges=spec.n_lg_edges,
                               n_graphs=ng + 1)
-        batch = batch_graphs(graphs, spec, atom_features=atom_features)
+        batch = batch_graphs(graphs, spec, atom_features=atom_features,
+                             gather_windows=False)
         n_pad = batch.z.shape[0]
         if vel is None or vel.shape[0] != n_pad:
             vel = np.zeros((n_pad, 3))

@@ -71,6 +71,22 @@ class GraphBatch:
     atomwise_target: np.ndarray  # [N, A] float32
     additional: np.ndarray      # [G, Fadd] float32
     extra_features: np.ndarray  # [G, Fx] float32
+    # static windowed-gather spans (ops/pallas_gather): max per-supertile
+    # span of real indices, 256-quantized; 0 = fall back to XLA gather.
+    # Static (non-pytree) so the train step compiles per window set —
+    # quantization + the loader's monotone floor bound the churn.
+    win_src: int = struct.field(pytree_node=False, default=0)
+    win_dst: int = struct.field(pytree_node=False, default=0)
+    win_src_sorted: int = struct.field(pytree_node=False, default=0)
+    win_lg_src: int = struct.field(pytree_node=False, default=0)
+    win_lg_dst: int = struct.field(pytree_node=False, default=0)
+    win_lg_src_sorted: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def static_windows(self) -> tuple:
+        """All win_* static fields as a hashable jit-cache key part."""
+        return (self.win_src, self.win_dst, self.win_src_sorted,
+                self.win_lg_src, self.win_lg_dst, self.win_lg_src_sorted)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -146,11 +162,17 @@ def batch_graphs(graphs: List[GraphData], spec: BucketSpec,
                  atomwise_width: int = 0,
                  additional_width: int = 0,
                  extra_width: int = 0,
-                 dtype=np.float32) -> GraphBatch:
+                 dtype=np.float32,
+                 gather_windows: bool = True) -> GraphBatch:
     """Concatenate + pad graphs into one :class:`GraphBatch`.
 
     The per-graph node/edge offsets play the role of dgl.batch's index
     relabeling (reference lmdb_dataset.py:88-108).
+
+    `gather_windows=False` skips the static win_* computation (all 0 ->
+    XLA gather).  Geometry-evolving single-graph consumers (Calculator,
+    md_jit, relax_jit) use it: their index spans flap step to step, and
+    every distinct window set is a fresh XLA compile.
     """
     n_pad, e_pad = spec.n_nodes, spec.n_edges
     l_pad, g_pad = spec.n_lg_edges, spec.n_graphs
@@ -251,7 +273,24 @@ def batch_graphs(graphs: List[GraphData], spec: BucketSpec,
     src_perm, src_perm_inv = perm_pair(src)
     lg_src_perm, lg_src_perm_inv = perm_pair(lg_src)
 
+    # static gather-window metadata (see GraphBatch docstring / field
+    # comment); numpy-only, a few linear passes over the index arrays
+    if gather_windows:
+        from alignn_tpu.ops.pallas_gather import window_for
+
+        windows = dict(
+            win_src=window_for(src, n_pad - 1),
+            win_dst=window_for(dst, n_pad - 1),
+            win_src_sorted=window_for(src[src_perm], n_pad - 1),
+            win_lg_src=window_for(lg_src, e_pad - 1),
+            win_lg_dst=window_for(lg_dst, e_pad - 1),
+            win_lg_src_sorted=window_for(lg_src[lg_src_perm], e_pad - 1),
+        )
+    else:
+        windows = {}
+
     return GraphBatch(
+        **windows,
         z=z, atom_features=feats, frac_coords=frac, node_graph=node_graph,
         node_mask=node_mask, src=src, dst=dst, r=r, images=images,
         edge_graph=edge_graph, edge_mask=edge_mask, lg_src=lg_src,

@@ -216,6 +216,9 @@ class EdgeGatedGraphConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: Optional[bool] = None  # None = auto (TPU backend)
     edge_axis: Optional[str] = None    # edge-partitioned mesh axis
+    # static windowed-gather spans (src idx / dst idx / sorted src idx)
+    # from GraphBatch.win_* — 0 disables the windowed kernel
+    windows: tuple = (0, 0, 0)
 
     @nn.compact
     def __call__(self, x, e, src, dst, node_mask=None, edge_mask=None,
@@ -223,6 +226,7 @@ class EdgeGatedGraphConv(nn.Module):
                  src_perm=None, src_perm_inv=None):
         num_nodes = x.shape[0]
         f = self.features
+        w_src, w_dst, w_src_sorted = self.windows
         src_gate = Dense(f, dtype=self.dtype, name="src_gate")(x)
         dst_gate = Dense(f, dtype=self.dtype, name="dst_gate")(x)
         pallas = self.use_pallas if self.use_pallas is not None \
@@ -234,14 +238,16 @@ class EdgeGatedGraphConv(nn.Module):
             # sorted by construction; src rides the precomputed argsort
             # permutation.  Without this, the backward's dominant cost
             # is XLA serialized scatter-adds of the [E|L, F] cotangents.
+            # The window args route forwards through the windowed
+            # one-hot MXU gather (round 2, ops/pallas_gather).
             from alignn_tpu.ops.pallas_eggc import (
                 gather_nodes,
                 sorted_gather,
             )
 
             sg_e = gather_nodes(src_gate, src, src_perm, src_perm_inv,
-                                num_nodes)
-            dg_e = sorted_gather(dst_gate, dst, num_nodes)
+                                num_nodes, True, w_src, w_src_sorted)
+            dg_e = sorted_gather(dst_gate, dst, num_nodes, True, w_dst)
         else:
             sg_e = src_gate[src]
             dg_e = dst_gate[dst]
@@ -254,8 +260,10 @@ class EdgeGatedGraphConv(nn.Module):
             )
 
             bh_e = gather_nodes(bh, src, src_perm, src_perm_inv,
-                                num_nodes) if fuse_gathers else bh[src]
-            h = edge_gated_aggregate_pallas(bh_e, m, dst, num_nodes)
+                                num_nodes, True, w_src, w_src_sorted) \
+                if fuse_gathers else bh[src]
+            h = edge_gated_aggregate_pallas(bh_e, m, dst, num_nodes,
+                                            window=w_dst)
         else:
             sigma = nn.sigmoid(m)
             if edge_weight is not None:
@@ -299,6 +307,8 @@ class ALIGNNConv(nn.Module):
     norm: str = "layernorm"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    windows: tuple = (0, 0, 0)      # node-stage gather windows
+    lg_windows: tuple = (0, 0, 0)   # L(g)-stage gather windows
 
     @nn.compact
     def __call__(self, x, y, z, src, dst, lg_src, lg_dst,
@@ -308,13 +318,14 @@ class ALIGNNConv(nn.Module):
                  lg_src_perm=None, lg_src_perm_inv=None):
         x, m = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, name="node_update")(
+            dtype=self.dtype, windows=self.windows, name="node_update")(
             x, y, src, dst, node_mask=node_mask, edge_mask=edge_mask,
             train=train, edge_weight=edge_weight,
             src_perm=src_perm, src_perm_inv=src_perm_inv)
         y, z = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, name="edge_update")(
+            dtype=self.dtype, windows=self.lg_windows,
+            name="edge_update")(
             m, z, lg_src, lg_dst, node_mask=edge_mask, edge_mask=lg_mask,
             train=train, edge_weight=lg_weight,
             src_perm=lg_src_perm, src_perm_inv=lg_src_perm_inv)

@@ -190,6 +190,16 @@ class _Trunk(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, y, z, train: bool = True):
         cfg = self.cfg
+        # static gather windows from the batch (ops/pallas_gather);
+        # module attributes, so remat argnum bookkeeping is untouched
+        from alignn_tpu.ops.pallas_gather import windows_enabled
+
+        if windows_enabled():
+            wins = (batch.win_src, batch.win_dst, batch.win_src_sorted)
+            lg_wins = (batch.win_lg_src, batch.win_lg_dst,
+                       batch.win_lg_src_sorted)
+        else:
+            wins = lg_wins = (0, 0, 0)
         kw = dict(norm=self.norm, axis_name=self.axis_name,
                   dtype=self.dtype)
         # opt-in per-layer rematerialization (cfg.remat_layers): trades
@@ -205,7 +215,8 @@ class _Trunk(nn.Module):
         eggc_cls = nn.remat(EdgeGatedGraphConv, static_argnums=(7,)) \
             if remat else EdgeGatedGraphConv
         for i in range(cfg.alignn_layers):
-            x, y, z = alignn_cls(cfg.hidden_features,
+            x, y, z = alignn_cls(cfg.hidden_features, windows=wins,
+                                 lg_windows=lg_wins,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 batch.node_mask, batch.edge_mask, batch.lg_mask, train,
@@ -213,7 +224,7 @@ class _Trunk(nn.Module):
                 lg_src_perm=batch.lg_src_perm,
                 lg_src_perm_inv=batch.lg_src_perm_inv)
         for i in range(cfg.gcn_layers):
-            x, y = eggc_cls(cfg.hidden_features,
+            x, y = eggc_cls(cfg.hidden_features, windows=wins,
                             name=f"gcn_layers_{i}", **kw)(
                 x, y, batch.src, batch.dst, batch.node_mask,
                 batch.edge_mask, train,

@@ -277,48 +277,62 @@ def _ssum_pallas(x: jnp.ndarray, dst: jnp.ndarray,
     )(offsets, lo, hi, x_p, oh_p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def sorted_segment_sum(x, dst, num_nodes: int, use_pallas: bool = True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sorted_segment_sum(x, dst, num_nodes: int, use_pallas: bool = True,
+                       window: int = 0):
     """segment_sum over dst-sorted edges; Pallas one-hot MXU matmul.
 
     The VJP is `sorted_gather` (whose own VJP is this function again), so
     every derivative order of the training objective keeps its scatters
-    on the MXU instead of XLA's serialized scatter-add.
+    on the MXU instead of XLA's serialized scatter-add.  `window` (the
+    static per-tile span of `dst` from pallas_gather.window_for) routes
+    the VJP's gather through the windowed one-hot kernel.
     """
     if use_pallas and num_nodes % TN == 0 and x.shape[-1] % 128 == 0:
         return _ssum_pallas(x, dst, num_nodes)
     return segment_sum(x, dst, num_nodes, indices_are_sorted=True)
 
 
-def _ssum_fwd(x, dst, num_nodes, use_pallas):
+def _ssum_fwd(x, dst, num_nodes, use_pallas, window):
     # route through the custom function itself so HIGHER-order
     # differentiation of this fwd body re-enters the custom rules
     # (otherwise grad-of-grad differentiates the raw op and its
     # transpose lowers to an XLA scatter — the round-2 HLO audit
     # caught exactly that)
-    return sorted_segment_sum(x, dst, num_nodes, use_pallas), dst
+    return sorted_segment_sum(x, dst, num_nodes, use_pallas, window), dst
 
 
-def _ssum_bwd(num_nodes, use_pallas, dst, g):
-    return sorted_gather(g, dst, num_nodes, use_pallas), None
+def _ssum_bwd(num_nodes, use_pallas, window, dst, g):
+    return sorted_gather(g, dst, num_nodes, use_pallas, window), None
 
 
 sorted_segment_sum.defvjp(_ssum_fwd, _ssum_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def sorted_gather(x, dst, num_nodes: int, use_pallas: bool = True):
-    """x[dst] with a Pallas-scatter transpose (see sorted_segment_sum)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sorted_gather(x, dst, num_nodes: int, use_pallas: bool = True,
+                  window: int = 0):
+    """x[dst] with a Pallas-scatter transpose (see sorted_segment_sum).
+
+    With `window` > 0 (and the Pallas path on) the forward runs the
+    windowed one-hot MXU gather — trash-pointing padded rows read 0
+    instead of x[-1], which is gradient-identical because padded rows
+    are masked at every loss/readout boundary (pallas_gather docstring).
+    """
+    if use_pallas and window:
+        from alignn_tpu.ops.pallas_gather import windowed_gather
+
+        return windowed_gather(x, dst, window)
     return x[dst]
 
 
-def _gather_fwd(x, dst, num_nodes, use_pallas):
+def _gather_fwd(x, dst, num_nodes, use_pallas, window):
     # see _ssum_fwd: keep higher-order derivatives inside custom rules
-    return sorted_gather(x, dst, num_nodes, use_pallas), dst
+    return sorted_gather(x, dst, num_nodes, use_pallas, window), dst
 
 
-def _gather_bwd(num_nodes, use_pallas, dst, g):
-    return sorted_segment_sum(g, dst, num_nodes, use_pallas), None
+def _gather_bwd(num_nodes, use_pallas, window, dst, g):
+    return sorted_segment_sum(g, dst, num_nodes, use_pallas, window), None
 
 
 sorted_gather.defvjp(_gather_fwd, _gather_bwd)
@@ -348,9 +362,10 @@ def _perm_bwd(res, g):
 permute_rows.defvjp(_perm_fwd, _perm_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def gather_nodes(x, idx, perm, inv_perm, num_nodes: int,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, window: int = 0,
+                 window_sorted: int = 0):
     """x[idx] for UNSORTED idx with a sorted-scatter transpose.
 
     `perm` is the stable argsort of `idx` (precomputed at batch build:
@@ -359,21 +374,33 @@ def gather_nodes(x, idx, perm, inv_perm, num_nodes: int,
     kernel — the gathers by `src`/`lg_src` in EGGC would otherwise
     transpose to XLA serialized scatter-adds over the full [E|L, F]
     table, which dominate the force-training backward.
+
+    `window` routes the forward through the windowed one-hot gather
+    (pallas_gather); `window_sorted` is the span of `idx[perm]`, used by
+    the inner segment-sum's own VJP at the next derivative order (force
+    training differentiates this function's backward).
     """
+    if use_pallas and window:
+        from alignn_tpu.ops.pallas_gather import windowed_gather
+
+        return windowed_gather(x, idx, window)
     return x[idx]
 
 
-def _gn_fwd(x, idx, perm, inv_perm, num_nodes, use_pallas):
+def _gn_fwd(x, idx, perm, inv_perm, num_nodes, use_pallas, window,
+            window_sorted):
     # see _ssum_fwd: keep higher-order derivatives inside custom rules
     return gather_nodes(x, idx, perm, inv_perm, num_nodes,
-                        use_pallas), (idx, perm, inv_perm)
+                        use_pallas, window, window_sorted), \
+        (idx, perm, inv_perm)
 
 
-def _gn_bwd(num_nodes, use_pallas, res, g):
+def _gn_bwd(num_nodes, use_pallas, window, window_sorted, res, g):
     idx, perm, inv_perm = res
     g_sorted = permute_rows(g, perm, inv_perm)
     ids_sorted = idx[perm]
-    dx = sorted_segment_sum(g_sorted, ids_sorted, num_nodes, use_pallas)
+    dx = sorted_segment_sum(g_sorted, ids_sorted, num_nodes, use_pallas,
+                            window_sorted)
     return dx, None, None, None
 
 
@@ -388,20 +415,25 @@ def _xla_forward(m, bh, dst, num_nodes):
     return summed[:, :f] / (summed[:, f:] + EPS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def gated_aggregate(m, bh, dst, num_nodes: int, use_pallas: bool = True):
-    """h = segment_normalized(sigmoid(m) * bh) over sorted dst."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gated_aggregate(m, bh, dst, num_nodes: int, use_pallas: bool = True,
+                    window: int = 0):
+    """h = segment_normalized(sigmoid(m) * bh) over sorted dst.
+
+    `window` (static span of `dst`) routes the backward's node->edge
+    gathers through the windowed one-hot kernel.
+    """
     if use_pallas:
         return _pallas_forward(m, bh, dst, num_nodes)
     return _xla_forward(m, bh, dst, num_nodes)
 
 
-def _fwd(m, bh, dst, num_nodes, use_pallas):
-    h = gated_aggregate(m, bh, dst, num_nodes, use_pallas)
+def _fwd(m, bh, dst, num_nodes, use_pallas, window):
+    h = gated_aggregate(m, bh, dst, num_nodes, use_pallas, window)
     return h, (m, bh, dst, h)
 
 
-def _bwd(num_nodes, use_pallas, res, g):
+def _bwd(num_nodes, use_pallas, window, res, g):
     """Backward with Pallas-fused reductions (round-2, VERDICT #6).
 
     The den recompute is a sorted_segment_sum (MXU one-hot matmul on
@@ -415,11 +447,12 @@ def _bwd(num_nodes, use_pallas, res, g):
     m, bh, dst, h = res
     f = m.shape[-1]
     sigma = jax.nn.sigmoid(m)
-    den = sorted_segment_sum(sigma, dst, num_nodes, use_pallas) + EPS
+    den = sorted_segment_sum(sigma, dst, num_nodes, use_pallas,
+                             window) + EPS
     ginv = g / den                       # [N, F]
     gh = -g * h / den                    # [N, F] dL/dden
     packed = sorted_gather(jnp.concatenate([ginv, gh], axis=-1), dst,
-                           num_nodes, use_pallas)
+                           num_nodes, use_pallas, window)
     ginv_e, gh_e = packed[:, :f], packed[:, f:]
     dbh = sigma * ginv_e
     dsigma = bh * ginv_e + gh_e
@@ -432,7 +465,8 @@ gated_aggregate.defvjp(_fwd, _bwd)
 
 def edge_gated_aggregate_pallas(bh_src: jnp.ndarray, m: jnp.ndarray,
                                 dst: jnp.ndarray, num_nodes: int,
-                                use_pallas: bool = True) -> jnp.ndarray:
+                                use_pallas: bool = True,
+                                window: int = 0) -> jnp.ndarray:
     """Drop-in for ops.segment.edge_gated_aggregate with logits input.
 
     Takes the *pre-sigmoid* gate logits m (the fused kernel computes
@@ -442,4 +476,4 @@ def edge_gated_aggregate_pallas(bh_src: jnp.ndarray, m: jnp.ndarray,
     # 128-lane tiles (otherwise Mosaic rejects the HBM slices)
     if use_pallas and (num_nodes % TN != 0 or m.shape[-1] % 128 != 0):
         use_pallas = False
-    return gated_aggregate(m, bh_src, dst, num_nodes, use_pallas)
+    return gated_aggregate(m, bh_src, dst, num_nodes, use_pallas, window)

@@ -35,18 +35,22 @@ DATA_AXIS = "data"
 GRAPH_AXIS = "graph"
 
 
-def stacked_batch_specs() -> GraphBatch:
+def stacked_batch_specs(batch: GraphBatch) -> GraphBatch:
     """PartitionSpecs for a [D, ...]-stacked batch on the 2-D mesh.
 
     V2: r shards over the graph axis like every other edge field.
+    Derived from `batch` via `.replace` so static fields (win_*)
+    match between the spec tree and the data tree.
     """
+    from alignn_tpu.parallel.graph_parallel import _pytree_field_names
+
     fields = {}
-    for name in GraphBatch.__dataclass_fields__:
+    for name in _pytree_field_names():
         if name in _EDGE_FIELDS or name in _LG_FIELDS:
             fields[name] = P(DATA_AXIS, GRAPH_AXIS)
         else:
             fields[name] = P(DATA_AXIS)
-    return GraphBatch(**fields)
+    return batch.replace(**fields)
 
 
 def stacked_ring_specs(ring):
@@ -116,11 +120,11 @@ def make_dp_gp_train_step(model_cfg, mesh: Mesh,
             ring = make_stacked_ring(batch, gp_size,
                                      min_steps=steps_floor[0])
             steps_floor[0] = ring.steps
-        key = (ring.steps, ring.n_shards)
+        key = (ring.steps, ring.n_shards, batch.static_windows)
         if key not in compiled:
             compiled[key] = jax.jit(shard_map(
                 per_device_step, mesh=mesh,
-                in_specs=(P(), stacked_batch_specs(),
+                in_specs=(P(), stacked_batch_specs(batch),
                           stacked_ring_specs(ring)),
                 out_specs=(P(), P()),
                 check_rep=False,

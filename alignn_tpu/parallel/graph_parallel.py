@@ -50,19 +50,29 @@ _EDGE_FIELDS = {"src", "dst", "r", "images", "edge_graph", "edge_mask"}
 _LG_FIELDS = {"lg_src", "lg_dst", "lg_mask"}
 
 
-def batch_specs() -> GraphBatch:
+def _pytree_field_names():
+    import dataclasses
+
+    return [f.name for f in dataclasses.fields(GraphBatch)
+            if f.metadata.get("pytree_node", True)]
+
+
+def batch_specs(batch: GraphBatch) -> GraphBatch:
     """PartitionSpec pytree for a GraphBatch in edge-partitioned mode.
 
     V2 (ring pipeline): `r` is sharded like every other edge field — no
-    replicated edge-space tensor remains.
+    replicated edge-space tensor remains.  Derived from `batch` via
+    `.replace` so static (non-pytree) fields — the win_* gather windows
+    — carry identical metadata in the spec tree and the data tree
+    (shard_map requires matching treedefs).
     """
     fields = {}
-    for name in GraphBatch.__dataclass_fields__:
+    for name in _pytree_field_names():
         if name in _EDGE_FIELDS or name in _LG_FIELDS:
             fields[name] = P(GRAPH_AXIS)
         else:
             fields[name] = P()
-    return GraphBatch(**fields)
+    return batch.replace(**fields)
 
 
 def ring_specs(ring) -> "RingIndex":
@@ -162,11 +172,11 @@ def make_gp_forward(model_cfg: ALIGNNAtomWiseConfig, mesh: Mesh,
                                              steps=floored)
             steps_floor[0] = needed.steps
             ring = needed
-        key = (ring.steps, ring.n_shards)
+        key = (ring.steps, ring.n_shards, batch.static_windows)
         if key not in compiled:
             compiled[key] = jax.jit(shard_map(
                 per_device, mesh=mesh,
-                in_specs=(batch_specs(), ring_specs(ring)),
+                in_specs=(batch_specs(batch), ring_specs(ring)),
                 out_specs=(P(), P(), P()), check_rep=False))
         return compiled[key](batch, ring)
 

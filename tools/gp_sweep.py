@@ -113,7 +113,7 @@ def main():
 
         lowered = jax.jit(shard_map(
             per_device, mesh=mesh,
-            in_specs=(batch_specs(), ring_specs(ring)),
+            in_specs=(batch_specs(batch), ring_specs(ring)),
             out_specs=(P(), P(), P()), check_rep=False)).lower(batch, ring)
         mem = lowered.compile().memory_analysis()
         temp_mb = getattr(mem, "temp_size_in_bytes", 0) / 1e6

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--n-chunks", type=int, default=10)
     ap.add_argument("--atoms", type=int, default=16)
     ap.add_argument("--host-steps", type=int, default=30)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=256)
     args = ap.parse_args()
 
     from alignn_tpu.chem.atoms import Atoms, atomic_masses
@@ -59,7 +61,8 @@ def main():
     atoms = Atoms(lattice_mat=lat, frac_coords=frac, elements=elements)
 
     cfg = ALIGNNAtomWiseConfig(
-        alignn_layers=4, gcn_layers=4, hidden_features=256,
+        alignn_layers=args.layers, gcn_layers=args.layers,
+        hidden_features=args.hidden,
         calculate_gradient=False, gradwise_weight=0.0)
     model = ALIGNNAtomWise(cfg)
 
@@ -104,7 +107,8 @@ def main():
     wall = time.time() - t0
     total_steps = args.n_chunks * args.chunk
     print(json.dumps({
-        "config": f"md_jit chunk={args.chunk} atoms={args.atoms} 4+4/256",
+        "config": f"md_jit chunk={args.chunk} atoms={args.atoms} "
+                  f"{args.layers}+{args.layers}/{args.hidden}",
         "compile_s": round(compile_s, 1),
         "chunk_ms": round(1e3 * wall / args.n_chunks, 1),
         "md_steps_per_s": round(total_steps / wall, 1),
