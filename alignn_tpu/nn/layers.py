@@ -229,6 +229,7 @@ class EdgeGatedGraphConv(nn.Module):
         w_src, w_dst, w_src_sorted = self.windows
         src_gate = Dense(f, dtype=self.dtype, name="src_gate")(x)
         dst_gate = Dense(f, dtype=self.dtype, name="dst_gate")(x)
+        bh = Dense(f, dtype=self.dtype, name="dst_update")(x)
         pallas = self.use_pallas if self.use_pallas is not None \
             else pallas_default()
         fuse_gathers = (pallas and src_perm is not None
@@ -238,6 +239,11 @@ class EdgeGatedGraphConv(nn.Module):
             # sorted by construction; src rides the precomputed argsort
             # permutation.  Without this, the backward's dominant cost
             # is XLA serialized scatter-adds of the [E|L, F] cotangents.
+            # src_gate and bh ride ONE concatenated gather: the device
+            # profile (tools/gather_probe*, BENCH_NOTES round 3) shows
+            # XLA's gather is latency-bound per ROW, so k same-index
+            # gathers cost ~k0x fused vs kx separate — and the transpose
+            # (one [*, 2F] sorted scatter) keeps the same property.
             # The window args route forwards through the windowed
             # one-hot MXU gather (round 2, ops/pallas_gather).
             from alignn_tpu.ops.pallas_eggc import (
@@ -245,23 +251,22 @@ class EdgeGatedGraphConv(nn.Module):
                 sorted_gather,
             )
 
-            sg_e = gather_nodes(src_gate, src, src_perm, src_perm_inv,
-                                num_nodes, True, w_src, w_src_sorted)
+            cat_e = gather_nodes(
+                jnp.concatenate([src_gate, bh], axis=-1), src,
+                src_perm, src_perm_inv, num_nodes, True, w_src,
+                w_src_sorted)
+            sg_e, bh_e = cat_e[:, :f], cat_e[:, f:]
             dg_e = sorted_gather(dst_gate, dst, num_nodes, True, w_dst)
         else:
             sg_e = src_gate[src]
             dg_e = dst_gate[dst]
+            bh_e = bh[src]
         m = sg_e + dg_e + Dense(f, dtype=self.dtype, name="edge_gate")(e)
-        bh = Dense(f, dtype=self.dtype, name="dst_update")(x)
         if pallas and edge_weight is None and self.edge_axis is None:
             from alignn_tpu.ops.pallas_eggc import (
                 edge_gated_aggregate_pallas,
-                gather_nodes,
             )
 
-            bh_e = gather_nodes(bh, src, src_perm, src_perm_inv,
-                                num_nodes, True, w_src, w_src_sorted) \
-                if fuse_gathers else bh[src]
             h = edge_gated_aggregate_pallas(bh_e, m, dst, num_nodes,
                                             window=w_dst)
         else:
@@ -271,7 +276,7 @@ class EdgeGatedGraphConv(nn.Module):
                 # weight removes the edge from both numerator and
                 # denominator, matching dynamic edge removal
                 sigma = sigma * edge_weight[:, None]
-            h = edge_gated_aggregate(bh[src], sigma, dst, num_nodes,
+            h = edge_gated_aggregate(bh_e, sigma, dst, num_nodes,
                                      edge_axis=self.edge_axis)
         x_new = Dense(f, dtype=self.dtype, name="src_update")(x) + h
 
