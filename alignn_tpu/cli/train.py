@@ -121,6 +121,7 @@ def train_for_folder(
         extra_width=extra_width,
         bucket_slack=config.bucket_slack,
         progress=config.progress,
+        dense=config.dense_neighborhoods,
         cache_dir=(os.path.join(config.output_dir, "graph_cache")
                    if config.use_cache else None),
     )

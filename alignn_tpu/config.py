@@ -159,6 +159,11 @@ class TrainingConfig:
     bucket_slack: float = 1.0      # padding head-room over worst-case batch
     donate_batch: bool = True      # jit buffer donation for the train step
     mesh_shape: Optional[Dict[str, int]] = None  # e.g. {"data": 8}
+    # dense-neighborhood execution layout (graph/dense.py): pads each
+    # node's in-edge list to the dataset max degree; aggregations become
+    # axis reductions and the L(g) index arrays are implicit.  k-NN
+    # graphs only (near-uniform degree).
+    dense_neighborhoods: bool = False
     # model configuration
     model: Union[ALIGNNConfig, ALIGNNAtomWiseConfig, Any] = field(
         default_factory=lambda: ALIGNNAtomWiseConfig(name="alignn_atomwise"))

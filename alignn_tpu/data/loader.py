@@ -79,7 +79,7 @@ class BucketedLoader:
                  num_shards: int = 1, seed: int = 123,
                  bucket_slack: float = 1.0,
                  host_id: int = 0, num_hosts: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, dense: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -105,14 +105,27 @@ class BucketedLoader:
         # step it occurs (fallback), without lowering the floor.
         self._win_floor: dict = {}
         if spec is None and len(dataset) > 0:
-            counts = dataset.metadata.get("counts")
-            if counts is not None:
-                c = np.asarray(counts)
-                spec = spec_from_counts(c[:, 0], c[:, 1], c[:, 2],
-                                        batch_size, slack=bucket_slack)
+            if dense:
+                # dense-neighborhood layout (graph/dense.py): the bucket
+                # is (max nodes * batch, D = max in-degree); requires
+                # materialized graphs to measure D — pass an explicit
+                # dense BucketSpec for lazy datasets.
+                from alignn_tpu.graph.dense import dense_spec_for_graphs
+
+                spec = dense_spec_for_graphs(
+                    dataset.graphs, batch_size, slack=bucket_slack)
             else:
-                spec = worst_case_spec(dataset.graphs, batch_size,
-                                       slack=bucket_slack)
+                counts = dataset.metadata.get("counts")
+                if counts is not None:
+                    c = np.asarray(counts)
+                    spec = spec_from_counts(c[:, 0], c[:, 1], c[:, 2],
+                                            batch_size, slack=bucket_slack)
+                else:
+                    spec = worst_case_spec(dataset.graphs, batch_size,
+                                           slack=bucket_slack)
+        if dense and spec is not None and not spec.dense_D:
+            raise ValueError("dense=True requires a dense BucketSpec "
+                             "(graph.dense.dense_spec_for_graphs)")
         self.spec = spec
 
     def __len__(self) -> int:
@@ -138,6 +151,15 @@ class BucketedLoader:
 
     def _make_batch(self, idxs) -> GraphBatch:
         graphs = [self.dataset.graphs[i] for i in idxs]
+        if self.spec is not None and self.spec.dense_D:
+            from alignn_tpu.graph.dense import dense_batch_graphs
+
+            return dense_batch_graphs(
+                graphs, self.spec, atom_features=self.atom_features,
+                target_width=self.target_width,
+                atomwise_width=self.atomwise_width,
+                additional_width=self.additional_width,
+                extra_width=self.extra_width)
         return batch_graphs(
             graphs, self.spec, atom_features=self.atom_features,
             target_width=self.target_width,
@@ -265,6 +287,7 @@ def get_train_val_loaders(
     bucket_slack: float = 1.0,
     progress: bool = False,
     cache_dir: Optional[str] = None,
+    dense: bool = False,
 ):
     """Records -> (train_loader, val_loader, test_loader, mad).
 
@@ -388,7 +411,7 @@ def get_train_val_loaders(
         atom_features=atom_features, target_width=target_width,
         atomwise_width=atomwise_width, additional_width=additional_width,
         extra_width=extra_width, seed=split_seed,
-        bucket_slack=bucket_slack)
+        bucket_slack=bucket_slack, dense=dense)
     train_loader = BucketedLoader(
         train_ds, batch_size, shuffle=True, drop_last=True,
         num_shards=num_shards, **shared_kwargs)

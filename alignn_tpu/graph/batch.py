@@ -50,6 +50,12 @@ class GraphBatch:
     lg_src: np.ndarray          # [L] int32 edge ids (pad -> E-1)
     lg_dst: np.ndarray          # [L] int32 edge ids (pad -> E-1)
     lg_mask: np.ndarray         # [L] float32
+    # reverse-edge involution [E]: rev[e] is the row of (dst, src,
+    # -image); r[rev] == -r exactly (k-NN graphs are symmetric by
+    # canonization).  The dense L-stage rides it (graph/dense.py);
+    # identity (arange) in sparse batches where it is unused.  Being an
+    # involution, permute-by-rev is its own transpose — no scatters.
+    rev: np.ndarray             # [E] int32
     # sort permutations for scatter-transposes (round 2): edges are
     # dst-sorted, so gathers by dst transpose to sorted segment sums for
     # free; gathers by src / lg_src need these precomputed stable-argsort
@@ -81,6 +87,13 @@ class GraphBatch:
     win_lg_src: int = struct.field(pytree_node=False, default=0)
     win_lg_dst: int = struct.field(pytree_node=False, default=0)
     win_lg_src_sorted: int = struct.field(pytree_node=False, default=0)
+    # dense-neighborhood layout (graph/dense.py): D > 0 means edges are
+    # grouped in fixed-D blocks by dst node (dst == row // D, lg_dst ==
+    # row // D, lg_src == src[b]*D + slot), so dst/lg_dst aggregations
+    # are axis reductions and lg_src gathers are D-wide block gathers.
+    # Static: the model compiles a different (gather/scatter-free)
+    # program for dense batches.
+    dense_D: int = struct.field(pytree_node=False, default=0)
 
     @property
     def static_windows(self) -> tuple:
@@ -117,6 +130,10 @@ class BucketSpec:
     n_edges: int = struct.field(pytree_node=False, default=0)
     n_lg_edges: int = struct.field(pytree_node=False, default=0)
     n_graphs: int = struct.field(pytree_node=False, default=0)
+    # dense-neighborhood block degree (graph/dense.py); 0 = sparse
+    # layout.  When > 0, n_edges == n_nodes * dense_D and
+    # n_lg_edges == n_edges * dense_D.
+    dense_D: int = struct.field(pytree_node=False, default=0)
 
     @staticmethod
     def for_graphs(graphs: Sequence[GraphData], batch_size: int,
@@ -295,6 +312,7 @@ def batch_graphs(graphs: List[GraphData], spec: BucketSpec,
         node_mask=node_mask, src=src, dst=dst, r=r, images=images,
         edge_graph=edge_graph, edge_mask=edge_mask, lg_src=lg_src,
         lg_dst=lg_dst, lg_mask=lg_mask,
+        rev=np.arange(e_pad, dtype=np.int32),
         src_perm=src_perm, src_perm_inv=src_perm_inv,
         lg_src_perm=lg_src_perm, lg_src_perm_inv=lg_src_perm_inv,
         lattice=lattice, volume=volume,

@@ -219,11 +219,19 @@ class EdgeGatedGraphConv(nn.Module):
     # static windowed-gather spans (src idx / dst idx / sorted src idx)
     # from GraphBatch.win_* — 0 disables the windowed kernel
     windows: tuple = (0, 0, 0)
+    # dense-neighborhood layout (graph/dense.py): D > 0 means the edge
+    # table is D-blocks by dst, aggregations become axis reductions, and
+    # (with dense_lstage) the src-side gather is a block gather of the
+    # [num_nodes//D, D*2F]-reshaped table.  `edge_mask` is REQUIRED in
+    # dense mode: trash slots live inside real blocks, so the mask (not
+    # trash-row routing) isolates them.
+    dense_D: int = 0
+    dense_lstage: bool = False
 
     @nn.compact
     def __call__(self, x, e, src, dst, node_mask=None, edge_mask=None,
                  train: bool = True, edge_weight=None,
-                 src_perm=None, src_perm_inv=None):
+                 src_perm=None, src_perm_inv=None, rev=None):
         num_nodes = x.shape[0]
         f = self.features
         w_src, w_dst, w_src_sorted = self.windows
@@ -232,6 +240,18 @@ class EdgeGatedGraphConv(nn.Module):
         bh = Dense(f, dtype=self.dtype, name="dst_update")(x)
         pallas = self.use_pallas if self.use_pallas is not None \
             else pallas_default()
+        if self.dense_D and self.dense_lstage:
+            m, h = self._dense_pair_lstage(
+                e, rev, src_gate, dst_gate, bh, edge_mask, edge_weight,
+                pallas)
+            return self._update_tail(x, e, m, h, node_mask, edge_mask,
+                                     train)
+        if self.dense_D:
+            m, h = self._dense_gather_aggregate(
+                x, e, src, src_gate, dst_gate, bh, edge_mask, edge_weight,
+                pallas, src_perm, src_perm_inv)
+            return self._update_tail(x, e, m, h, node_mask, edge_mask,
+                                     train)
         fuse_gathers = (pallas and src_perm is not None
                         and self.edge_axis is None)
         if fuse_gathers:
@@ -278,6 +298,97 @@ class EdgeGatedGraphConv(nn.Module):
                 sigma = sigma * edge_weight[:, None]
             h = edge_gated_aggregate(bh_e, sigma, dst, num_nodes,
                                      edge_axis=self.edge_axis)
+        return self._update_tail(x, e, m, h, node_mask, edge_mask, train)
+
+    def _dense_pair_lstage(self, e, rev, src_gate, dst_gate, bh,
+                           lg_mask, lg_weight, pallas):
+        """Local-pair L-stage (graph/dense.py v2 layout).
+
+        The L(g) nodes are the edges (tables [E, F], E = N*D, D-blocks
+        by dst node); the L(g) edge (a, b) with dst[a] == src[b] == j is
+        the local pair (a = j*D+s, b = rev[j*D+t]) at z-row
+        j*D^2 + t*D + s.  Gate assembly is two block broadcasts plus ONE
+        [E, F] involution permutation (dst_gate[rev]); aggregation over
+        s is the pair kernel; the result rides rev back to edge rows.
+        Scatter-free at every derivative order (permute-by-rev is its
+        own transpose).
+        """
+        f, D = self.features, self.dense_D
+        n = src_gate.shape[0] // D
+        from alignn_tpu.ops.pallas_dense import (
+            dense_pair_aggregate,
+            fold_mask,
+        )
+        from alignn_tpu.ops.pallas_eggc import permute_rows
+
+        dg_r = permute_rows(dst_gate, rev, rev)       # dg[rev], involution
+        m2 = (src_gate.reshape(n, 1, D, f)
+              + dg_r.reshape(n, D, 1, f)).reshape(-1, f) \
+            + Dense(f, dtype=self.dtype, name="edge_gate")(e)
+        m2 = fold_mask(m2, lg_mask)
+        if lg_weight is None:
+            h_jt = dense_pair_aggregate(m2, bh, D, pallas)
+        else:
+            # soft pair weights (eALIGNN): XLA path, explicit multiply
+            sigma = (jax.nn.sigmoid(m2.astype(jnp.float32))
+                     * lg_weight.astype(jnp.float32)[:, None]).reshape(
+                n, D, D, f)
+            bh4 = bh.astype(jnp.float32).reshape(n, 1, D, f)
+            num = (sigma * bh4).sum(axis=2)
+            den = sigma.sum(axis=2)
+            h_jt = (num / (den + 1e-6)).reshape(n * D, f).astype(m2.dtype)
+        h = permute_rows(h_jt, rev, rev)              # rows (j,t) -> edge b
+        return m2, h
+
+    def _dense_gather_aggregate(self, x, e, src, src_gate, dst_gate, bh,
+                                edge_mask, edge_weight, pallas,
+                                src_perm, src_perm_inv):
+        """Dense-neighborhood node stage (graph/dense.py layout).
+
+        x is the [N, F] node table, the e-table has N*D rows in D-blocks
+        by dst node: the src-side gathers ride one concatenated [N, 2F]
+        gather, the dst side is a pure broadcast, and the aggregation is
+        a blockwise axis reduction — no scatter at any derivative order.
+        """
+        num_nodes, f, D = x.shape[0], self.features, self.dense_D
+        cat = jnp.concatenate([src_gate, bh], axis=-1)
+        nb, cat_tbl = num_nodes, cat
+        if pallas and src_perm is not None:
+            from alignn_tpu.ops.pallas_eggc import gather_nodes
+
+            cat_e = gather_nodes(cat_tbl, src, src_perm, src_perm_inv, nb)
+        else:
+            cat_e = cat_tbl[src]
+        sg_e, bh_e = cat_e[:, :f], cat_e[:, f:]
+        # dst side is the block owner: pure broadcast (transpose = sum)
+        dg_e = jnp.broadcast_to(
+            dst_gate[:, None, :], (num_nodes, D, f)).reshape(-1, f)
+        m = sg_e + dg_e + Dense(f, dtype=self.dtype, name="edge_gate")(e)
+        # blockwise masked aggregation: the slot mask folds ADDITIVELY
+        # into the logits (sigma(-1e9) == 0 exactly, gradient included),
+        # and the Pallas kernel keeps sigma in VMEM instead of
+        # materializing [rows, F] f32 tensors (ops/pallas_dense.py)
+        from alignn_tpu.ops.pallas_dense import (
+            dense_gated_aggregate,
+            fold_mask,
+        )
+
+        m_agg = fold_mask(m, edge_mask)
+        if edge_weight is None:
+            h = dense_gated_aggregate(m_agg, bh_e, D, pallas)
+        else:
+            # soft edge pruning (eALIGNN inner_cutoff): weights cannot
+            # fold additively — XLA path with an explicit multiply
+            sigma = (jax.nn.sigmoid(m_agg.astype(jnp.float32))
+                     * edge_weight.astype(jnp.float32)[:, None])
+            num = (sigma * bh_e.astype(jnp.float32)).reshape(
+                num_nodes, D, f).sum(axis=1)
+            den = sigma.reshape(num_nodes, D, f).sum(axis=1)
+            h = (num / (den + 1e-6)).astype(m.dtype)
+        return m, h
+
+    def _update_tail(self, x, e, m, h, node_mask, edge_mask, train):
+        f = self.features
         x_new = Dense(f, dtype=self.dtype, name="src_update")(x) + h
 
         if self.norm == "batchnorm":
@@ -314,19 +425,32 @@ class ALIGNNConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
     windows: tuple = (0, 0, 0)      # node-stage gather windows
     lg_windows: tuple = (0, 0, 0)   # L(g)-stage gather windows
+    dense_D: int = 0                # dense-neighborhood block degree
 
     @nn.compact
     def __call__(self, x, y, z, src, dst, lg_src, lg_dst,
                  node_mask=None, edge_mask=None, lg_mask=None,
                  train: bool = True, edge_weight=None, lg_weight=None,
                  src_perm=None, src_perm_inv=None,
-                 lg_src_perm=None, lg_src_perm_inv=None):
+                 lg_src_perm=None, lg_src_perm_inv=None, rev=None):
         x, m = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
-            dtype=self.dtype, windows=self.windows, name="node_update")(
+            dtype=self.dtype, windows=self.windows,
+            dense_D=self.dense_D, name="node_update")(
             x, y, src, dst, node_mask=node_mask, edge_mask=edge_mask,
             train=train, edge_weight=edge_weight,
             src_perm=src_perm, src_perm_inv=src_perm_inv)
+        if self.dense_D:
+            # dense layout: the L stage is local pairs within each
+            # dst-block, wired by the rev involution — it consumes no
+            # lg index arrays at all (graph/dense.py)
+            y, z = EdgeGatedGraphConv(
+                self.features, norm=self.norm, axis_name=self.axis_name,
+                dtype=self.dtype, dense_D=self.dense_D, dense_lstage=True,
+                name="edge_update")(
+                m, z, None, None, node_mask=edge_mask, edge_mask=lg_mask,
+                train=train, edge_weight=lg_weight, rev=rev)
+            return x, y, z
         y, z = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
             dtype=self.dtype, windows=self.lg_windows,

@@ -36,7 +36,8 @@ from alignn_tpu.nn.layers import (
     MLPLayer,
     RBFExpansion,
 )
-from alignn_tpu.ops.basis import bond_cosines, cutoff_function_based_edges
+from alignn_tpu.ops.basis import (bond_cosines, bond_cosines_dense,
+                                  cutoff_function_based_edges)
 from alignn_tpu.ops.segment import graph_readout_mean, segment_sum
 
 EV_A3_TO_GPA = 160.21766208  # 1 eV/Angstrom^3 in GPa
@@ -216,15 +217,16 @@ class _Trunk(nn.Module):
             if remat else EdgeGatedGraphConv
         for i in range(cfg.alignn_layers):
             x, y, z = alignn_cls(cfg.hidden_features, windows=wins,
-                                 lg_windows=lg_wins,
+                                 lg_windows=lg_wins, dense_D=batch.dense_D,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 batch.node_mask, batch.edge_mask, batch.lg_mask, train,
                 src_perm=batch.src_perm, src_perm_inv=batch.src_perm_inv,
                 lg_src_perm=batch.lg_src_perm,
-                lg_src_perm_inv=batch.lg_src_perm_inv)
+                lg_src_perm_inv=batch.lg_src_perm_inv, rev=batch.rev)
         for i in range(cfg.gcn_layers):
             x, y = eggc_cls(cfg.hidden_features, windows=wins,
+                            dense_D=batch.dense_D,
                             name=f"gcn_layers_{i}", **kw)(
                 x, y, batch.src, batch.dst, batch.node_mask,
                 batch.edge_mask, train,
@@ -250,7 +252,9 @@ class ALIGNN(nn.Module):
         kw = dict(norm="batchnorm", axis_name=self.axis_name,
                   dtype=self.dtype)
         bondlength = jnp.linalg.norm(batch.r, axis=1)
-        cosines = bond_cosines(batch.r, batch.lg_src, batch.lg_dst)
+        cosines = bond_cosines_dense(batch.r, batch.dense_D) \
+            if batch.dense_D else \
+            bond_cosines(batch.r, batch.lg_src, batch.lg_dst)
         x, y, z = _Embeddings(cfg, name="embeddings", **kw)(
             batch, bondlength, cosines, train=train)
         x, y = _Trunk(cfg, name="trunk", **kw)(batch, x, y, z, train=train)
@@ -303,7 +307,9 @@ class ALIGNNAtomWise(nn.Module):
         kw = dict(norm="layernorm", axis_name=self.axis_name,
                   dtype=self.dtype)
         bondlength = jnp.linalg.norm(r, axis=1)
-        cosines = bond_cosines(r, batch.lg_src, batch.lg_dst)
+        cosines = bond_cosines_dense(r, batch.dense_D) \
+            if batch.dense_D else \
+            bond_cosines(r, batch.lg_src, batch.lg_dst)
 
         edge_scale = None
         rbf_input = bondlength
@@ -470,13 +476,29 @@ def atomwise_forward(model: ALIGNNAtomWise, variables, batch: GraphBatch,
         pair_forces = pair_forces * jnp.sum(batch.n_nodes)
 
     num_nodes = batch.z.shape[0]
-    forces_ji = segment_sum(pair_forces, batch.dst, num_nodes)
-    if cfg.add_reverse_forces:
-        forces_ij = segment_sum(pair_forces, batch.src, num_nodes)
-        forces = forces_ji - forces_ij
+    if batch.dense_D:
+        # dense layout: in-edges of node i are block i (axis reduction),
+        # out-edges of i are rev of block i — both force sums are
+        # scatter-free at every derivative order
+        from alignn_tpu.ops.pallas_eggc import permute_rows
+
+        D = batch.dense_D
+        forces_ji = pair_forces.reshape(num_nodes, D, 3).sum(axis=1)
+        if cfg.add_reverse_forces:
+            pf_rev = permute_rows(pair_forces, batch.rev, batch.rev)
+            forces = forces_ji - pf_rev.reshape(
+                num_nodes, D, 3).sum(axis=1)
+        else:
+            forces = forces_ji
+        res["grad"] = forces
     else:
-        forces = forces_ji
-    res["grad"] = forces
+        forces_ji = segment_sum(pair_forces, batch.dst, num_nodes)
+        if cfg.add_reverse_forces:
+            forces_ij = segment_sum(pair_forces, batch.src, num_nodes)
+            forces = forces_ji - forces_ij
+        else:
+            forces = forces_ji
+        res["grad"] = forces
 
     if cfg.stresswise_weight != 0:
         outer = jnp.einsum("ei,ej->eij", batch.r, pair_forces)

@@ -62,3 +62,22 @@ def bond_cosines(r: jnp.ndarray, lg_src: jnp.ndarray,
     num = jnp.sum(r1 * r2, axis=1)
     den = jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1)
     return jnp.clip(num / den, -1.0, 1.0)
+
+
+def bond_cosines_dense(r: jnp.ndarray, D: int) -> jnp.ndarray:
+    """Angle cosines in the dense-neighborhood layout (graph/dense.py).
+
+    The L-edge (a, b) at pair (j, t, s) has a = j*D+s and b = rev[j*D+t]
+    with r_b == -r[j*D+t] exactly (symmetric edge set), so the reference
+    cosine (-r_a . r_b / |r_a||r_b|, graphs.py:847-864) becomes the
+    fully NODE-LOCAL + r_s . r_t / (|r_s||r_t|) — zero gathers, replacing
+    the two [L, 3] gathers of :func:`bond_cosines`.  Returns the flat
+    [N*D*D] vector in (j, t, s) order (s fastest).  Trash slots have
+    r = (1,0,0), so the denominator never vanishes.
+    """
+    n = r.shape[0] // D
+    rb = r.reshape(n, D, 3)
+    dots = jnp.einsum("jtd,jsd->jts", rb, rb)
+    norms = jnp.linalg.norm(rb, axis=-1)
+    den = norms[:, :, None] * norms[:, None, :]
+    return jnp.clip(dots / den, -1.0, 1.0).reshape(-1)

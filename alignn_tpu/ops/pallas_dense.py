@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: gated aggregation for the dense-neighborhood layout.
+
+In the dense layout (graph/dense.py) the e-table is D-blocks by dst, so
+    h_i = (sum_s sigma(m[i*D+s]) * bh[i*D+s]) / (sum_s sigma(...) + eps)
+is a *regular* blockwise reduction — no one-hot matmuls, no scalar
+prefetch, no sorted-offset bookkeeping (contrast ops/pallas_eggc.py).
+The kernel exists because the XLA lowering of the same math materializes
+the f32 sigma tensors ([L, F] each) for the two reduction consumers —
+the dense probe measured +32% HBM bytes vs the sparse fused kernel.
+Here sigma lives only in VMEM registers.
+
+Masking contract: callers fold the slot mask ADDITIVELY into the gate
+logits before the call (`m + (mask - 1) * 1e9`) — sigma(-1e9) == 0 in
+f32, which removes trash slots from numerator AND denominator exactly,
+and sigma'(-1e9) == 0 kills their gradients exactly.  This keeps the
+kernel mask-free (one less [L]-shaped operand) and makes the VJP's
+sigma recompute automatically masked.
+
+The custom VJP is pure elementwise/broadcast/reduce algebra — its
+transposes are broadcasts and reductions, so NO scatter appears at any
+derivative order (the grad-of-grad force training differentiates this
+backward; no custom-recursion trick needed, unlike the sparse kernel).
+
+Replaces the reference's DGL update_all pair on the node/L(g) stages
+(alignn/models/alignn.py:100-108) for dense batches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TN = 128       # output rows per tile
+EPS = 1e-6
+MASK_SHIFT = 1e9   # additive logit shift for masked slots
+
+
+def fold_mask(m: jnp.ndarray, mask, weight=None) -> jnp.ndarray:
+    """Fold a {0,1} slot mask into gate logits (see module docstring).
+
+    `weight` (soft edge weights in [0, 1], eALIGNN inner-cutoff path)
+    cannot be folded additively — callers with weights use the XLA path.
+    """
+    if mask is None:
+        return m
+    return m + ((mask - 1.0) * MASK_SHIFT).astype(m.dtype)[:, None]
+
+
+def _xla_dense_aggregate(m, bh, D: int):
+    f = m.shape[-1]
+    sig = jax.nn.sigmoid(m.astype(jnp.float32))
+    num = (sig * bh.astype(jnp.float32)).reshape(-1, D, f).sum(axis=1)
+    den = sig.reshape(-1, D, f).sum(axis=1)
+    return ((num / (den + EPS))).astype(bh.dtype)
+
+
+def _kernel(m_ref, bh_ref, h_ref, *, D: int):
+    f = h_ref.shape[-1]
+    sig = jax.nn.sigmoid(m_ref[:].astype(jnp.float32))
+    num = (sig * bh_ref[:].astype(jnp.float32)).reshape(TN, D, f).sum(
+        axis=1)
+    den = sig.reshape(TN, D, f).sum(axis=1)
+    h_ref[:] = (num / (den + EPS)).astype(h_ref.dtype)
+
+
+def _pallas_dense_aggregate(m, bh, D: int):
+    rows, f = m.shape
+    grid = rows // (TN * D)
+    return pl.pallas_call(
+        functools.partial(_kernel, D=D),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((TN * D, f), lambda i: (i, 0)),
+            pl.BlockSpec((TN * D, f), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((TN, f), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows // D, f), bh.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(m, bh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dense_gated_aggregate(m, bh, D: int, use_pallas: bool = True):
+    """h = blockwise segment_normalized(sigmoid(m) * bh); mask pre-folded.
+
+    m, bh: [M*D, F] (D-blocks); returns [M, F].
+    """
+    if use_pallas and m.shape[0] % (TN * D) == 0 and \
+            m.shape[-1] % 128 == 0:
+        return _pallas_dense_aggregate(m, bh, D)
+    return _xla_dense_aggregate(m, bh, D)
+
+
+def _fwd(m, bh, D, use_pallas):
+    h = dense_gated_aggregate(m, bh, D, use_pallas)
+    return h, (m, bh, h)
+
+
+def _bwd(D, use_pallas, res, g):
+    """Elementwise/broadcast/reduce backward (differentiable residuals).
+
+    den is recomputed (a residual must stay a differentiable function of
+    the primals for grad-of-grad force training); sigma recompute is
+    automatically masked because m arrives mask-folded.
+    """
+    m, bh, h = res
+    f = m.shape[-1]
+    sig = jax.nn.sigmoid(m.astype(jnp.float32))
+    den = sig.reshape(-1, D, f).sum(axis=1) + EPS
+    g32 = g.astype(jnp.float32)
+    ginv = g32 / den                                  # [M, F]
+    gh = -g32 * h.astype(jnp.float32) / den           # [M, F] dL/dden
+    ginv_e = jnp.broadcast_to(
+        ginv[:, None, :], (ginv.shape[0], D, f)).reshape(-1, f)
+    gh_e = jnp.broadcast_to(
+        gh[:, None, :], (gh.shape[0], D, f)).reshape(-1, f)
+    dbh = (sig * ginv_e).astype(bh.dtype)
+    dsig = bh.astype(jnp.float32) * ginv_e + gh_e
+    dm = (sig * (1.0 - sig) * dsig).astype(m.dtype)
+    return dm, dbh
+
+
+dense_gated_aggregate.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# local-pair aggregation (v2 L-stage): rows (j, t, s), reduce over s
+# ---------------------------------------------------------------------------
+
+C_NODES = 8    # g-nodes per grid step (8*D^2 rows per tile)
+
+
+def _xla_pair_aggregate(m2, bh, D: int):
+    f = m2.shape[-1]
+    n = bh.shape[0] // D
+    sig = jax.nn.sigmoid(m2.astype(jnp.float32)).reshape(n, D, D, f)
+    bh4 = bh.astype(jnp.float32).reshape(n, 1, D, f)
+    num = (sig * bh4).sum(axis=2)
+    den = sig.sum(axis=2)
+    return (num / (den + EPS)).reshape(n * D, f).astype(bh.dtype)
+
+
+def _pair_kernel(m2_ref, bh_ref, h_ref, *, D: int):
+    # statically-unrolled reduction over s, one [c*D, F] slice at a
+    # time: 4-D [c, D, D, F] f32 intermediates exceed the ~16 MB scoped
+    # VMEM at D ~ 13 (Mosaic pads the minor-2 dim to sublane tiles)
+    f = h_ref.shape[-1]
+    rows = bh_ref.shape[0]          # c*D rows (j, t)
+    c = rows // D
+    m2 = m2_ref[:].reshape(rows, D, f)       # [(j,t), s, F]
+    bh = bh_ref[:].reshape(c, D, f)          # [j, s, F]
+    num = jnp.zeros((rows, f), jnp.float32)
+    den = jnp.zeros((rows, f), jnp.float32)
+    for s in range(D):
+        sig = jax.nn.sigmoid(m2[:, s, :].astype(jnp.float32))
+        bh_s = jnp.broadcast_to(
+            bh[:, s, :].astype(jnp.float32)[:, None, :],
+            (c, D, f)).reshape(rows, f)
+        num = num + sig * bh_s
+        den = den + sig
+    h_ref[:] = (num / (den + EPS)).astype(h_ref.dtype)
+
+
+def _pallas_pair_aggregate(m2, bh, D: int):
+    rows, f = m2.shape
+    n = rows // (D * D)
+    c = C_NODES
+    return pl.pallas_call(
+        functools.partial(_pair_kernel, D=D),
+        grid=(n // c,),
+        in_specs=[
+            pl.BlockSpec((c * D * D, f), lambda i: (i, 0)),
+            pl.BlockSpec((c * D, f), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((c * D, f), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * D, f), bh.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(m2, bh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def dense_pair_aggregate(m2, bh, D: int, use_pallas: bool = True):
+    """h[j,t] = sum_s sigma(m2[j,t,s]) * bh[j,s] / (sum_s sigma + eps).
+
+    m2: [N*D*D, F] rows (j, t, s) with s fastest, mask pre-folded
+    (see fold_mask); bh: [N*D, F] rows (j, s).  Returns [N*D, F] rows
+    (j, t) — the L(g)-node update for edge b = rev[j*D+t] (callers
+    apply the rev permutation).
+    """
+    n = bh.shape[0] // D
+    if use_pallas and n % C_NODES == 0 and m2.shape[-1] % 128 == 0:
+        return _pallas_pair_aggregate(m2, bh, D)
+    return _xla_pair_aggregate(m2, bh, D)
+
+
+def _pair_fwd(m2, bh, D, use_pallas):
+    h = dense_pair_aggregate(m2, bh, D, use_pallas)
+    return h, (m2, bh, h)
+
+
+def _pair_bwd(D, use_pallas, res, g):
+    """Broadcast/reduce backward — scatter-free at every order."""
+    m2, bh, h = res
+    f = m2.shape[-1]
+    n = bh.shape[0] // D
+    sig = jax.nn.sigmoid(m2.astype(jnp.float32)).reshape(n, D, D, f)
+    den = sig.sum(axis=2) + EPS                        # [n, t, F]
+    g32 = g.astype(jnp.float32).reshape(n, D, f)
+    ginv = (g32 / den)[:, :, None, :]                   # [n, t, 1, F]
+    gh = (-g32 * h.astype(jnp.float32).reshape(n, D, f)
+          / den)[:, :, None, :]
+    bh4 = bh.astype(jnp.float32).reshape(n, 1, D, f)
+    dsig = bh4 * ginv + gh
+    dm2 = (sig * (1.0 - sig) * dsig).reshape(-1, f).astype(m2.dtype)
+    dbh = (sig * ginv).sum(axis=1).reshape(-1, f).astype(bh.dtype)
+    return dm2, dbh
+
+
+dense_pair_aggregate.defvjp(_pair_fwd, _pair_bwd)

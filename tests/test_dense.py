@@ -1,0 +1,293 @@
+"""Dense-neighborhood layout (graph/dense.py): builder + model parity.
+
+The dense layout must be *the same graph* in a different execution
+layout: identical L-edge set, identical model outputs (energies, forces,
+stress) and parameter gradients vs the sparse path, to reduction-order
+tolerance.  The sparse path is itself pinned against the reference's own
+source (tests/test_ref_oracle.py), so dense parity chains to the
+reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alignn_tpu.chem.atoms import Atoms
+from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+from alignn_tpu.graph.build import build_graph
+from alignn_tpu.graph.dense import (
+    dense_batch_graphs,
+    dense_spec_for_batch,
+    max_in_degree,
+)
+
+
+def _graphs(n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    elems = ["Na", "Cl", "K", "Br", "Mg", "O", "Ca", "S"]
+    out = []
+    for i in range(n):
+        a = 4.2 + 0.3 * rng.standard_normal()
+        base = np.array([
+            [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+            [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5]])
+        frac = base + 0.03 * rng.standard_normal((8, 3))
+        atoms = Atoms(lattice_mat=np.eye(3) * a, frac_coords=frac,
+                      elements=[elems[j % len(elems)] for j in range(8)])
+        g = build_graph(atoms, cutoff=8.0, max_neighbors=12)
+        g.target = np.array([rng.standard_normal()])
+        g.forces = rng.standard_normal((8, 3)) * 0.1
+        g.stress = np.eye(3) * 0.01
+        out.append(g)
+    return out
+
+
+def test_dense_builder_layout_invariants():
+    graphs = _graphs(2)
+    spec = dense_spec_for_batch(graphs)
+    b = dense_batch_graphs(graphs, spec)
+    D = b.dense_D
+    e_pad = b.src.shape[0]
+    assert e_pad == b.z.shape[0] * D
+    assert b.lg_src.shape[0] == e_pad * D
+    # dst is the block owner everywhere
+    np.testing.assert_array_equal(b.dst, np.arange(e_pad) // D)
+    # rev is an involution with r[rev] == -r on real edges
+    np.testing.assert_array_equal(b.rev[b.rev], np.arange(e_pad))
+    real = b.edge_mask > 0
+    np.testing.assert_allclose(b.r[b.rev][real], -b.r[real], atol=1e-6)
+    # implicit local-pair lg arrays: row j*D^2 + t*D + s <-> (a, b)
+    np.testing.assert_array_equal(
+        b.lg_dst, np.repeat(b.rev, D))
+    np.testing.assert_array_equal(
+        b.lg_src,
+        (np.repeat((np.arange(e_pad, dtype=np.int64) // D) * D, D)
+         + np.tile(np.arange(D), e_pad)))
+    # masks: every real edge row's (src, dst) pair present in the
+    # original graphs, and counts match
+    assert int(b.edge_mask.sum()) == sum(g.num_edges for g in graphs)
+
+
+def test_dense_lg_edge_set_matches_sparse():
+    """The real (masked-in) implicit L-edge set == the sparse L(g)."""
+    g = _graphs(1)[0]
+    spec = dense_spec_for_batch([g])
+    b = dense_batch_graphs([g], spec)
+    D = b.dense_D
+    # map dense edge row -> original (src, dst, r) identity via r match
+    real = b.edge_mask > 0
+    dense_rows = np.nonzero(real)[0]
+    # sparse L-edge set as (src_a, dst_a, src_b, dst_b, r_a, r_b) multiset
+    sp = set()
+    for a, bb in zip(g.lg_src, g.lg_dst):
+        sp.add((g.src[a], g.dst[a], g.src[bb], g.dst[bb],
+                tuple(np.round(np.float32(g.r[a]), 4)), tuple(np.round(np.float32(g.r[bb]), 4))))
+    dn = set()
+    lg_mask = b.lg_mask.reshape(-1, D)   # rows (j, t), cols s
+    for jt in range(lg_mask.shape[0]):
+        brow = b.rev[jt]                  # L(g)-dst edge b = rev(j*D+t)
+        j = jt // D
+        for s in range(D):
+            if lg_mask[jt, s] > 0:
+                arow = j * D + s          # L(g)-src edge a
+                dn.add((b.src[arow], b.dst[arow], b.src[brow], b.dst[brow],
+                        tuple(np.round(b.r[arow], 4)),
+                        tuple(np.round(b.r[brow], 4))))
+    assert sp == dn
+    assert int(b.lg_mask.sum()) == g.num_lg_edges
+
+
+def _model_outputs(batch, variables=None, seed=0):
+    from alignn_tpu.nn.models import (
+        ALIGNNAtomWise,
+        ALIGNNAtomWiseConfig,
+        atomwise_forward,
+    )
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=2, gcn_layers=2,
+        hidden_features=64, embedding_features=32,
+        gradwise_weight=1.0, stresswise_weight=0.1, graphwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(seed), batch, batch.r,
+                               train=False)
+    res = atomwise_forward(model, variables, batch, train=False)
+    return model, variables, res
+
+
+def test_dense_model_parity_with_sparse():
+    graphs = _graphs(3)
+    sp_spec = BucketSpec.tight_for_batch(graphs)
+    sp = batch_graphs(graphs, sp_spec, target_width=1)
+    dn_spec = dense_spec_for_batch(graphs)
+    dn = dense_batch_graphs(graphs, dn_spec, target_width=1)
+    n_real = sum(g.num_nodes for g in graphs)
+    n_graphs = len(graphs)
+
+    model, variables, res_sp = _model_outputs(sp)
+    # same params must drive the dense path (identical parameter tree)
+    _, _, res_dn = _model_outputs(dn, variables=variables)
+
+    np.testing.assert_allclose(
+        np.asarray(res_dn["out"])[:n_graphs],
+        np.asarray(res_sp["out"])[:n_graphs], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_dn["grad"])[:n_real],
+        np.asarray(res_sp["grad"])[:n_real], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_dn["stresses"])[:n_graphs],
+        np.asarray(res_sp["stresses"])[:n_graphs], rtol=5e-4, atol=5e-5)
+
+
+def test_dense_param_grad_parity():
+    """Training-objective parameter gradients match sparse (E+F loss)."""
+    graphs = _graphs(2, seed=3)
+    sp = batch_graphs(graphs, BucketSpec.tight_for_batch(graphs))
+    dn = dense_batch_graphs(graphs, dense_spec_for_batch(graphs))
+
+    from alignn_tpu.nn.models import (
+        ALIGNNAtomWise,
+        ALIGNNAtomWiseConfig,
+        atomwise_forward,
+    )
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=64, embedding_features=32,
+        gradwise_weight=1.0, graphwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(1), sp, sp.r, train=False)
+
+    def loss(params, batch):
+        res = atomwise_forward(model, {"params": params["params"]},
+                               batch, train=False)
+        g_mask = batch.graph_mask
+        e = jnp.sum(jnp.abs(res["out"][:, 0] - batch.target[:, 0]) * g_mask)
+        f = jnp.sum(jnp.abs(res["grad"] - batch.forces)
+                    * batch.node_mask[:, None])
+        return e + f
+
+    g_sp = jax.grad(loss)(variables, sp)
+    g_dn = jax.grad(loss)(variables, dn)
+    flat_sp = jax.tree_util.tree_leaves(g_sp)
+    flat_dn = jax.tree_util.tree_leaves(g_dn)
+    for a, b in zip(flat_sp, flat_dn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_dense_degree_overflow_raises():
+    graphs = _graphs(1)
+    spec = dense_spec_for_batch(graphs, D=4)
+    with pytest.raises(ValueError):
+        dense_batch_graphs(graphs, spec)
+
+
+def test_max_in_degree():
+    graphs = _graphs(2)
+    assert max_in_degree(graphs) == 12
+
+
+def test_dense_kernel_matches_xla():
+    """Pallas dense aggregate vs XLA path: fwd, VJP, grad-of-grad."""
+    from alignn_tpu.ops.pallas_dense import (
+        _xla_dense_aggregate,
+        dense_gated_aggregate,
+        fold_mask,
+    )
+
+    rng = np.random.default_rng(0)
+    M, D, F = 128, 4, 128
+    m = jnp.asarray(rng.standard_normal((M * D, F)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((M * D, F)), jnp.float32)
+    mask = jnp.asarray((rng.random(M * D) < 0.8).astype(np.float32))
+    mf = fold_mask(m, mask)
+
+    h_k = dense_gated_aggregate(mf, bh, D, True)
+    h_x = _xla_dense_aggregate(mf, bh, D)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_k(m, bh):
+        return jnp.sum(dense_gated_aggregate(fold_mask(m, mask),
+                                             bh, D, True) ** 2)
+
+    def loss_x(m, bh):
+        return jnp.sum(_xla_dense_aggregate(fold_mask(m, mask),
+                                            bh, D) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(m, bh)
+    gx = jax.grad(loss_x, argnums=(0, 1))(m, bh)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # masked slots get exactly zero gradient (additive fold property)
+    np.testing.assert_array_equal(
+        np.asarray(gk[0])[np.asarray(mask) == 0], 0.0)
+
+    # grad-of-grad (force-training requirement)
+    def gg(fn):
+        def inner(m):
+            g = jax.grad(lambda mm: jnp.sum(fn(mm, bh)))(m)
+            return jnp.sum(g ** 2)
+
+        return jax.grad(inner)(m)
+
+    ggk = gg(lambda mm, b: dense_gated_aggregate(fold_mask(mm, mask),
+                                                 b, D, True))
+    ggx = gg(lambda mm, b: _xla_dense_aggregate(fold_mask(mm, mask), b, D))
+    np.testing.assert_allclose(np.asarray(ggk), np.asarray(ggx),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pair_kernel_matches_xla():
+    """dense_pair_aggregate Pallas vs XLA: fwd, VJP, grad-of-grad."""
+    from alignn_tpu.ops.pallas_dense import (
+        C_NODES,
+        _xla_pair_aggregate,
+        dense_pair_aggregate,
+        fold_mask,
+    )
+
+    rng = np.random.default_rng(1)
+    n, D, F = C_NODES * 2, 5, 128
+    m2 = jnp.asarray(rng.standard_normal((n * D * D, F)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((n * D, F)), jnp.float32)
+    em = (rng.random((n, D)) < 0.8).astype(np.float32)
+    pairmask = jnp.asarray(
+        (em[:, :, None] * em[:, None, :]).reshape(-1))
+    mf = fold_mask(m2, pairmask)
+
+    h_k = dense_pair_aggregate(mf, bh, D, True)
+    h_x = _xla_pair_aggregate(mf, bh, D)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def f(m2v, bhv):
+            return jnp.sum(fn(fold_mask(m2v, pairmask), bhv, D) ** 2)
+
+        return f
+
+    gk = jax.grad(loss(lambda a, b, d: dense_pair_aggregate(a, b, d, True)),
+                  argnums=(0, 1))(m2, bh)
+    gx = jax.grad(loss(lambda a, b, d: _xla_pair_aggregate(a, b, d)),
+                  argnums=(0, 1))(m2, bh)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def gg(fn):
+        def inner(m2v):
+            g = jax.grad(lambda mm: jnp.sum(
+                fn(fold_mask(mm, pairmask), bh, D)))(m2v)
+            return jnp.sum(g ** 2)
+
+        return jax.grad(inner)(m2)
+
+    ggk = gg(lambda a, b, d: dense_pair_aggregate(a, b, d, True))
+    ggx = gg(lambda a, b, d: _xla_pair_aggregate(a, b, d))
+    np.testing.assert_allclose(np.asarray(ggk), np.asarray(ggx),
+                               rtol=1e-4, atol=1e-5)
