@@ -55,7 +55,8 @@ class Calculator:
                  variables=None, config: Optional[Dict[str, Any]] = None,
                  intensive: bool = True, force_multiplier: float = 1.0,
                  force_mult_natoms: bool = False, stress_wt: float = 1.0,
-                 bucket_slack: float = 1.3, skin: float = 0.3):
+                 bucket_slack: float = 1.3, skin: float = 0.3,
+                 dense: Optional[bool] = None):
         if model is None:
             from alignn_tpu.zoo import load_model_dir
 
@@ -84,6 +85,16 @@ class Calculator:
         self._nl_graph = None          # cached GraphData (index arrays)
         self._nl_cart0 = None          # positions at build time
         self._nl_lat0 = None
+
+        # dense-neighborhood execution layout (graph/dense.py): per-call
+        # batching becomes block-structured and the model runs the
+        # gather/scatter-free fast paths.  Defaults from the training
+        # config; falls back to the sparse layout per-call if the graph
+        # is asymmetric (dense requires the (i->j)/(j->i) involution).
+        if dense is None:
+            dense = bool(self.config.get("dense_neighborhoods", False))
+        self.dense = bool(dense)
+        self._dense_warned = False
 
         self.neighbor_strategy = self.config.get(
             "neighbor_strategy", "radius_graph")
@@ -210,10 +221,41 @@ class Calculator:
             volume=gc.volume, src=src, dst=dst, r=gc.r[keep],
             images=gc.images[keep], lg_src=lg_src, lg_dst=lg_dst)
 
+    def _dense_spec_for(self, g) -> BucketSpec:
+        from alignn_tpu.graph.dense import max_in_degree
+
+        s = self.bucket_slack
+        # degree headroom so thermal motion / relaxation steps that add
+        # a neighbor or two reuse the compile
+        D = max_in_degree([g]) + 2
+        n_pad = _round_up(int(g.num_nodes * s) + 1, 128)
+        return BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
+                          n_lg_edges=n_pad * D * D, n_graphs=2,
+                          dense_D=D)
+
     def _batch_and_fn(self, g, make_fn):
         """Shared bucket/compile management: grow the spec on overflow
         (recompile), batch into it, return (batch, jitted fn)."""
+        if self.dense:
+            from alignn_tpu.nn.ealignn import eALIGNNAtomWise
+
+            if isinstance(self.model, eALIGNNAtomWise):
+                # eALIGNN has no dense fast paths (its sparse segment
+                # sums require dst-sorted lg indices, which the dense
+                # layout does not provide)
+                self.dense = False
+        if self.dense:
+            try:
+                return self._dense_batch_and_fn(g, make_fn)
+            except ValueError as exc:
+                if not self._dense_warned:
+                    print(f"[calculator] dense layout unavailable "
+                          f"({exc}); falling back to sparse")
+                    self._dense_warned = True
+                self.dense = False
+                self._spec, self._fn = None, None
         if (self._spec is None
+                or getattr(self._spec, "dense_D", 0)
                 or g.num_nodes >= self._spec.n_nodes
                 or g.num_edges >= self._spec.n_edges
                 or g.num_lg_edges >= self._spec.n_lg_edges):
@@ -224,6 +266,22 @@ class Calculator:
         batch = batch_graphs([g], self._spec,
                              atom_features=self.atom_features,
                              gather_windows=False)
+        return batch, self._fn
+
+    def _dense_batch_and_fn(self, g, make_fn):
+        from alignn_tpu.graph.dense import (
+            dense_batch_graphs, max_in_degree)
+
+        if (self._spec is None or not getattr(self._spec, "dense_D", 0)
+                or g.num_nodes >= self._spec.n_nodes
+                or max_in_degree([g]) > self._spec.dense_D):
+            self._spec = self._dense_spec_for(g)
+            self._fn = None
+        # raises ValueError on an asymmetric edge set (caller falls back)
+        batch = dense_batch_graphs([g], self._spec,
+                                   atom_features=self.atom_features)
+        if self._fn is None:
+            self._fn = make_fn()
         return batch, self._fn
 
     def calculate(self, atoms: Atoms) -> Dict[str, np.ndarray]:

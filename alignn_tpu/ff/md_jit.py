@@ -64,8 +64,19 @@ def _make_chunk_fn(model, variables, dt, ensemble: str,
             epot, g_r = jax.value_and_grad(efn)(r)
             pair = -g_r
             n = batch.z.shape[0]
-            forces = (segment_sum(pair, batch.dst, n)
-                      - segment_sum(pair, batch.src, n))
+            if batch.dense_D:
+                # dense layout (graph/dense.py): in-edges of node i are
+                # block i, out-edges are rev of block i — both sums are
+                # axis reductions (scatter-free, as in atomwise_forward)
+                from alignn_tpu.ops.pallas_eggc import permute_rows
+
+                D = batch.dense_D
+                forces = (pair.reshape(n, D, 3).sum(axis=1)
+                          - permute_rows(pair, batch.rev, batch.rev)
+                          .reshape(n, D, 3).sum(axis=1))
+            else:
+                forces = (segment_sum(pair, batch.dst, n)
+                          - segment_sum(pair, batch.src, n))
             return epot, forces * node_mask[:, None]
 
         def step(carry, _):
@@ -106,11 +117,16 @@ def run_md_jit(model, variables, atoms: Atoms,
                chunk_steps: int = 25,
                seed: int = 0,
                atom_features: str = "cgcnn",
-               bucket_slack: float = 1.4) -> Tuple[Atoms, MDLog]:
+               bucket_slack: float = 1.4,
+               dense: bool = False) -> Tuple[Atoms, MDLog]:
     """Run MD with on-device scan chunks; returns (final atoms, log).
 
     ensembles: nve | nvt_langevin.  The graph (and compile bucket) is
     rebuilt between chunks; topology is frozen within a chunk.
+    `dense=True` runs the dense-neighborhood execution layout
+    (graph/dense.py: gather/scatter-free aggregations — the in-chunk
+    bond vectors are recomputed from positions exactly as in the sparse
+    layout, and compute_cartesian_r masks padded slots either way).
     """
     if ensemble not in ("nve", "nvt_langevin"):
         raise ValueError(f"run_md_jit supports nve|nvt_langevin, "
@@ -130,20 +146,36 @@ def run_md_jit(model, variables, atoms: Atoms,
     while done < steps:
         g = build_graph(cur, neighbor_strategy=neighbor_strategy,
                         cutoff=cutoff, max_neighbors=max_neighbors)
-        if spec is None or g.num_nodes >= spec.n_nodes or \
-                g.num_edges >= spec.n_edges or \
-                g.num_lg_edges >= spec.n_lg_edges:
-            spec = BucketSpec(
-                n_nodes=((int(g.num_nodes * bucket_slack) + 128)
-                         // 128) * 128,
-                n_edges=((int(g.num_edges * bucket_slack) + 128)
-                         // 128) * 128,
-                n_lg_edges=((int(g.num_lg_edges * bucket_slack) + 512)
-                            // 512) * 512,
-                n_graphs=2)
-            chunk_cache.clear()
-        batch = batch_graphs([g], spec, atom_features=atom_features,
-                             gather_windows=False)
+        if dense:
+            from alignn_tpu.graph.dense import (
+                dense_batch_graphs, max_in_degree)
+
+            if spec is None or g.num_nodes >= spec.n_nodes or \
+                    max_in_degree([g]) > spec.dense_D:
+                D = max_in_degree([g]) + 2  # thermal-motion headroom
+                n_pad = ((int(g.num_nodes * bucket_slack) + 128)
+                         // 128) * 128
+                spec = BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
+                                  n_lg_edges=n_pad * D * D,
+                                  n_graphs=2, dense_D=D)
+                chunk_cache.clear()
+            batch = dense_batch_graphs([g], spec,
+                                       atom_features=atom_features)
+        else:
+            if spec is None or g.num_nodes >= spec.n_nodes or \
+                    g.num_edges >= spec.n_edges or \
+                    g.num_lg_edges >= spec.n_lg_edges:
+                spec = BucketSpec(
+                    n_nodes=((int(g.num_nodes * bucket_slack) + 128)
+                             // 128) * 128,
+                    n_edges=((int(g.num_edges * bucket_slack) + 128)
+                             // 128) * 128,
+                    n_lg_edges=((int(g.num_lg_edges * bucket_slack) + 512)
+                                // 512) * 512,
+                    n_graphs=2)
+                chunk_cache.clear()
+            batch = batch_graphs([g], spec, atom_features=atom_features,
+                                 gather_windows=False)
         n_pad = batch.z.shape[0]
         masses = np.zeros(n_pad)
         masses[: cur.num_atoms] = masses_np

@@ -24,7 +24,7 @@ import numpy as np
 BASELINE_EDGES_PER_S = 3.96e3
 
 
-def build_batch(batch_size=32, seed=0):
+def build_batch(batch_size=32, seed=0, dense=False):
     from alignn_tpu.chem.atoms import Atoms
     from alignn_tpu.graph.build import build_graph
     from alignn_tpu.graph.batch import BucketSpec, batch_graphs
@@ -46,6 +46,12 @@ def build_batch(batch_size=32, seed=0):
         g.forces = rng.standard_normal((8, 3)) * 0.1
         g.stress = np.eye(3) * 0.01
         graphs.append(g)
+    if dense:
+        from alignn_tpu.graph.dense import (
+            dense_batch_graphs, dense_spec_for_batch)
+
+        return dense_batch_graphs(graphs, dense_spec_for_batch(graphs),
+                                  target_width=1)
     spec = BucketSpec.tight_for_batch(graphs)
     return batch_graphs(graphs, spec, target_width=1)
 
@@ -71,17 +77,23 @@ def main():
 
     dtype = None if os.environ.get("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
     model = ALIGNNAtomWise(cfg=cfg, dtype=dtype)
-    # batch 64 = the reference's default training batch size.  Honest
-    # (device_get-fenced) batch sweep in BENCH_NOTES.md round 2:
-    # 32 -> 1.62M, 64 -> 1.51M, 128 -> 1.38M, 256 -> 0.92M edges/s —
-    # throughput FALLS with batch size (super-linear step growth at
-    # large L; round-3 investigation item).
-    batch = build_batch(batch_size=64)
+    # batch 64 = the reference's default training batch size.  Default
+    # execution layout is dense neighborhoods (graph/dense.py): the
+    # honest device sweep (BENCH_NOTES.md "Dense-neighborhood layout on
+    # device") measured b64 44.6 ms vs 49.1 sparse, and b256 212 vs 288
+    # — the dense layout removes the L-stage gathers and tames the
+    # super-linear batch growth.  ALIGNN_TPU_BENCH_SPARSE=1 runs the
+    # sparse (sorted-segment / Pallas one-hot) path instead.
+    dense = not os.environ.get("ALIGNN_TPU_BENCH_SPARSE")
+    batch = build_batch(batch_size=64, dense=dense)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
     step = make_train_step(model, criterion="l1", donate=False)
 
-    n_edges = batch.src.shape[0] + batch.lg_src.shape[0]
+    # REAL (unpadded) edges + L-edges — comparable across layouts and
+    # against the torch-CPU baseline, which also counts real edges.
+    n_edges = int(np.asarray(batch.edge_mask).sum()
+                  + np.asarray(batch.lg_mask).sum())
 
     # warmup / compile (device_get = hard fence; on the axon remote
     # backend block_until_ready can return before execution completes,

@@ -291,3 +291,68 @@ def test_pair_kernel_matches_xla():
     ggx = gg(lambda a, b, d: _xla_pair_aggregate(a, b, d))
     np.testing.assert_allclose(np.asarray(ggk), np.asarray(ggx),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dense_calculator_matches_sparse():
+    """FF Calculator with dense=True returns the sparse path's E/F/S."""
+    from alignn_tpu.ff.calculator import Calculator
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8, gradwise_weight=1.0,
+        stresswise_weight=0.1)
+    model = ALIGNNAtomWise(cfg=cfg)
+    atoms = Atoms(lattice_mat=np.eye(3) * 4.1,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    g = build_graph(atoms, cutoff=5.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    common = dict(model=model, variables=variables,
+                  config={"neighbor_strategy": "k-nearest",
+                          "cutoff": 5.0, "max_neighbors": 12})
+    sparse_calc = Calculator(dense=False, **common)
+    dense_calc = Calculator(dense=True, **common)
+    rs = sparse_calc.calculate(atoms)
+    rd = dense_calc.calculate(atoms)
+    assert dense_calc.dense, "dense path should not have fallen back"
+    assert dense_calc._spec.dense_D > 0
+    np.testing.assert_allclose(rd["energy"], rs["energy"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rd["forces"], rs["forces"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(rd["stress"], rs["stress"],
+                               rtol=1e-4, atol=1e-5)
+    # bucket reuse on a small perturbation (same compile)
+    fn1 = dense_calc._fn
+    a2 = atoms.with_positions(
+        cart_coords=atoms.cart_coords + [[0.03, 0, 0], [0, 0, 0]])
+    dense_calc.calculate(a2)
+    assert dense_calc._fn is fn1
+
+
+def test_dense_calculator_config_default():
+    """dense_neighborhoods in the training config activates the layout."""
+    from alignn_tpu.ff.calculator import Calculator
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8, gradwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    atoms = Atoms(lattice_mat=np.eye(3) * 4.1,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    g = build_graph(atoms, cutoff=5.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    calc = Calculator(model=model, variables=variables,
+                      config={"neighbor_strategy": "k-nearest",
+                              "cutoff": 5.0, "max_neighbors": 12,
+                              "dense_neighborhoods": True})
+    assert calc.dense
+    res = calc.calculate(atoms)
+    assert np.isfinite(res["energy"])

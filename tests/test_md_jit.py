@@ -76,3 +76,19 @@ def test_jit_md_langevin_runs(setup):
                         chunk_steps=3)
     assert np.isfinite(log.rows[-1]["T"])
     assert np.isfinite(a.cart_coords).all()
+
+
+def test_jit_md_dense_matches_sparse(setup):
+    """Dense-neighborhood layout reproduces the sparse jit-MD trajectory."""
+    from alignn_tpu.ff.md_jit import run_md_jit
+
+    model, variables, _calc, atoms = setup
+    kw = dict(steps=6, timestep_fs=0.5, ensemble="nve",
+              initial_temperature_K=80.0, seed=3, cutoff=5.0,
+              chunk_steps=3)
+    a_sparse, log_s = run_md_jit(model, variables, atoms, **kw)
+    a_dense, log_d = run_md_jit(model, variables, atoms, dense=True, **kw)
+    np.testing.assert_allclose(a_dense.cart_coords, a_sparse.cart_coords,
+                               rtol=1e-4, atol=1e-5)
+    assert log_d.rows[-1]["etot"] == pytest.approx(
+        log_s.rows[-1]["etot"], rel=1e-3)
