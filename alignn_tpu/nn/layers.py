@@ -29,11 +29,18 @@ from alignn_tpu.ops.segment import edge_gated_aggregate
 
 
 def pallas_default() -> bool:
-    """Fused Pallas aggregation on TPU backends unless disabled."""
+    """Fused Pallas aggregation on TPU backends unless disabled.
+
+    ALIGNN_TPU_FORCE_PALLAS=1 enables the Pallas paths on CPU too
+    (kernels run in interpret mode) — used by tests to cover the fused
+    paths at model level without TPU hardware.
+    """
     import os
 
     if os.environ.get("ALIGNN_TPU_DISABLE_PALLAS"):
         return False
+    if os.environ.get("ALIGNN_TPU_FORCE_PALLAS"):
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -77,6 +84,44 @@ class Dense(nn.Module):
                                   (self.features,))
             y = y + bias.astype(y.dtype)
         return y
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense-layout params (kernel/bias) WITHOUT applying them.
+
+    The fused L-stage kernel (ops/pallas_fused_lstage.py) consumes the
+    edge_gate matmul params directly; declaring them through this module
+    (name="edge_gate") keeps the parameter tree byte-identical to the
+    unfused path's Dense submodule, so checkpoints convert/load across
+    both paths.
+    """
+
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_init(self.fan_in),
+                            (self.fan_in, self.features))
+        bias = self.param("bias", torch_linear_init(self.fan_in),
+                          (self.features,))
+        return kernel, bias
+
+
+class _NormParams(nn.Module):
+    """Declares layernorm params (scale/bias) without applying them.
+
+    Same tree-compat trick as _DenseParams, for MaskedLayerNorm
+    (name="norm_edges") consumed inside the fused L-stage kernel.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
 
 
 class MaskedLayerNorm(nn.Module):
@@ -241,6 +286,28 @@ class EdgeGatedGraphConv(nn.Module):
         pallas = self.use_pallas if self.use_pallas is not None \
             else pallas_default()
         if self.dense_D and self.dense_lstage:
+            # fully-fused L-stage (ops/pallas_fused_lstage.py): matmul +
+            # gates + aggregation + layernorm + silu + residual in one
+            # kernel, m2 never materialized in HBM.  NOTE the argument
+            # aliasing in L-stage calls: `node_mask` is the E-mask (the
+            # L(g) "nodes" are g's edges) — the fused path folds it into
+            # both gate operands, which masks exactly the pairs that
+            # `edge_mask` (= lg_mask = em_s * em_t) masks.
+            import os
+
+            if (pallas and self.norm == "layernorm" and self.residual
+                    and edge_weight is None
+                    and not os.environ.get(
+                        "ALIGNN_TPU_DISABLE_FUSED_LSTAGE")):
+                e_new, h = self._fused_dense_lstage(
+                    e, rev, src_gate, dst_gate, bh, node_mask, pallas)
+                x_new = Dense(self.features, dtype=self.dtype,
+                              name="src_update")(x) + h
+                x_new = MaskedLayerNorm(name="norm_nodes")(x_new)
+                x_new = nn.silu(x_new)
+                if self.residual:
+                    x_new = x + x_new
+                return x_new, e_new
             m, h = self._dense_pair_lstage(
                 e, rev, src_gate, dst_gate, bh, edge_mask, edge_weight,
                 pallas)
@@ -299,6 +366,38 @@ class EdgeGatedGraphConv(nn.Module):
             h = edge_gated_aggregate(bh_e, sigma, dst, num_nodes,
                                      edge_axis=self.edge_axis)
         return self._update_tail(x, e, m, h, node_mask, edge_mask, train)
+
+    def _fused_dense_lstage(self, e, rev, src_gate, dst_gate, bh, em,
+                            pallas):
+        """Fused local-pair L-stage (ops/pallas_fused_lstage.py).
+
+        Declares edge_gate / norm_edges params through the param-only
+        modules so the variable tree matches the unfused path exactly
+        (checkpoints load interchangeably).  `em` is the [E] edge mask
+        of g; folding it additively into sg AND dg masks pair (t, s)
+        iff lg_mask would (em[rev] == em: rev maps real<->real,
+        trash->self).
+        """
+        f, D = self.features, self.dense_D
+        from alignn_tpu.ops.pallas_dense import MASK_SHIFT
+        from alignn_tpu.ops.pallas_eggc import permute_rows
+        from alignn_tpu.ops.pallas_fused_lstage import fused_pair_lstage
+
+        kernel, kbias = _DenseParams(f, fan_in=e.shape[-1],
+                                     name="edge_gate")()
+        scale, nbias = _NormParams(f, name="norm_edges")()
+        if em is not None:
+            shift = ((em - 1.0) * MASK_SHIFT).astype(
+                src_gate.dtype)[:, None]
+            sg_f = src_gate + shift
+            dg_f = dst_gate + shift
+        else:
+            sg_f, dg_f = src_gate, dst_gate
+        dg_f = permute_rows(dg_f, rev, rev)
+        e_new, h_jt = fused_pair_lstage(e, kernel, kbias, sg_f, dg_f, bh,
+                                        scale, nbias, D, pallas)
+        h = permute_rows(h_jt, rev, rev)
+        return e_new, h
 
     def _dense_pair_lstage(self, e, rev, src_gate, dst_gate, bh,
                            lg_mask, lg_weight, pallas):

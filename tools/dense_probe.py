@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batches", type=int, nargs="*",
                     default=[64, 128, 256])
+    ap.add_argument("--variants", nargs="*", default=["fused"],
+                    help="fused | unfused (ALIGNN_TPU_DISABLE_FUSED_LSTAGE)")
+    ap.add_argument("--no-analysis", action="store_true",
+                    help="skip XLA cost/memory analysis (avoids a second "
+                         "compile per config on the remote service)")
     args = ap.parse_args()
 
     from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
@@ -66,7 +71,16 @@ def main():
     model = ALIGNNAtomWise(cfg=cfg, dtype=jnp.bfloat16)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
 
-    for bs in args.batches:
+    import itertools
+    import os
+
+    for bs, variant in itertools.product(args.batches, args.variants):
+        # the fused-L-stage gate is read at trace time, so flipping the
+        # env between freshly-built step fns A/Bs it in ONE process
+        if variant == "unfused":
+            os.environ["ALIGNN_TPU_DISABLE_FUSED_LSTAGE"] = "1"
+        else:
+            os.environ.pop("ALIGNN_TPU_DISABLE_FUSED_LSTAGE", None)
         batch = jax.device_put(build_dense(bs))
         # count REAL edges+L-edges for comparable edges/s
         import numpy as np
@@ -84,9 +98,13 @@ def main():
             state, losses = step(state, batch)
         float(jax.device_get(losses["loss"]))
         dt = (time.perf_counter() - t0) / args.iters
-        rec = {"probe": f"dense_step_b{bs}", "ms": round(1e3 * dt, 1),
+        rec = {"probe": f"dense_step_b{bs}_{variant}",
+               "ms": round(1e3 * dt, 1),
                "real_edges_per_s": round(n_edges / dt),
                "rows": n_rows, "D": batch.dense_D}
+        if args.no_analysis:
+            print(json.dumps(rec), flush=True)
+            continue
         try:
             compiled = jax.jit(step.__wrapped__
                                if hasattr(step, "__wrapped__") else step,
