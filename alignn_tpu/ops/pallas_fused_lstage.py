@@ -42,19 +42,26 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-6        # aggregation denominator (reference parity)
 LN_EPS = 1e-5     # torch nn.LayerNorm default (MaskedLayerNorm parity)
 
 # VMEM-resident per-tile f32 bytes ~ c*D^2*F*(z + eg + e_stack) + slack;
-# cap the tile choice so D from radius graphs cannot blow the ~16 MB
-# scoped VMEM (c is chosen per-call below).
-_VMEM_BUDGET = 10 * 2 ** 20
+# cap the tile choice so D from radius graphs cannot blow VMEM (the
+# pallas_call requests a raised scoped-vmem limit — v5e has 128 MB
+# physical VMEM; Mosaic's default scoped cap is only 16 MB).
+_VMEM_BUDGET = 24 * 2 ** 20
+_VMEM_LIMIT = 100 * 2 ** 20
 
 
-def _pick_c(n: int, D: int, f: int) -> int:
+def _pick_c(n: int, D: int, f: int, bytes_per_elem: int = 14) -> int:
     for c in (8, 4, 2, 1):
-        if n % c == 0 and c * D * D * f * 14 <= _VMEM_BUDGET:
+        # Mosaic block rule: last-2 dims divisible by (8, 128) — both
+        # the [c*D*D, F] and [c*D, F] blocks must satisfy it
+        if (c * D * D) % 8 or (c * D) % 8:
+            continue
+        if n % c == 0 and c * D * D * f * bytes_per_elem <= _VMEM_BUDGET:
             return c
     return 0
 
@@ -156,6 +163,8 @@ def _pallas_fused(z, w, b, sg_f, dg_f, bh, scale, bias, D: int, c: int):
             jax.ShapeDtypeStruct((rows, f), z.dtype),
             jax.ShapeDtypeStruct((n * D, f), bh.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(z, w2, b2, sg_f, dg_f, bh, sc2, bi2)
 
@@ -273,17 +282,13 @@ def _bwd_body(z, w, b, sg_f, dg_f, bh, scale, bias, de, dh, D):
 
 # per-element VMEM footprint of the backward tile, used to bound the
 # tile choice.  Calibrated against Mosaic's scoped-vmem accounting on
-# device (c=8/D=13/F=256 with stashed slices hit 26.7 MB; recompute +
-# this factor keeps c=4 at the bench shape under the 16 MB limit)
+# device (c=8/D=13/F=256 with stashed slices hit 26.7 MB; the recompute
+# version at the same shape fits under the raised scoped-vmem limit)
 _VMEM_BYTES_PER_ELEM_BWD = 40
 
 
 def _pick_c_bwd(n: int, D: int, f: int) -> int:
-    for c in (8, 4, 2, 1):
-        if n % c == 0 and \
-                c * D * D * f * _VMEM_BYTES_PER_ELEM_BWD <= _VMEM_BUDGET:
-            return c
-    return 0
+    return _pick_c(n, D, f, _VMEM_BYTES_PER_ELEM_BWD)
 
 
 def _bwd_kernel(z_ref, de_ref, dh_ref, sg_ref, dg_ref, bh_ref,
@@ -444,6 +449,8 @@ def _pallas_bwd(z, w, b, sg_f, dg_f, bh, scale, bias, de, dh,
             jax.ShapeDtypeStruct((1, f), jnp.float32),
             jax.ShapeDtypeStruct((1, f), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(z, de, dh, sg_f, dg_f, bh, w2, wt2, b2, sc2, bi2)
     return (dz, dw.astype(w.dtype), db.reshape(f).astype(b.dtype),

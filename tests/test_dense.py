@@ -293,6 +293,34 @@ def test_pair_kernel_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dense_dp_train_step():
+    """Dense batches compose with data parallelism (dense_D is a static
+    pytree field, so per-device shards keep the block layout)."""
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.parallel.dp import make_dp_train_step
+    from alignn_tpu.parallel.mesh import make_mesh
+    from alignn_tpu.train.optim import build_optimizer
+    from alignn_tpu.train.state import create_train_state
+
+    graphs = _graphs(8)
+    D = max_in_degree(graphs)
+    spec = BucketSpec(n_nodes=128, n_edges=128 * D,
+                      n_lg_edges=128 * D * D, n_graphs=3, dense_D=D)
+    shards = [dense_batch_graphs(graphs[i * 2:(i + 1) * 2], spec,
+                                 target_width=1) for i in range(4)]
+    batch = jax.tree.map(lambda *xs: np.stack(xs), *shards)
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=32, embedding_features=16,
+        gradwise_weight=1.0, graphwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    state = create_train_state(model, shards[0],
+                               build_optimizer("adamw", 1e-3, 1e-5))
+    step = make_dp_train_step(model, make_mesh(4), criterion="l1")
+    _, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss"]))
+
+
 def test_dense_calculator_matches_sparse():
     """FF Calculator with dense=True returns the sparse path's E/F/S."""
     from alignn_tpu.ff.calculator import Calculator
