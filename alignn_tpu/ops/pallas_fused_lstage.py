@@ -337,6 +337,14 @@ def _bwd_kernel(z_ref, de_ref, dh_ref, sg_ref, dg_ref, bh_ref,
     db_rows = jnp.zeros((rows, f), f32)
     dsc_rows = jnp.zeros((rows, f), f32)
     dbi_rows = jnp.zeros((rows, f), f32)
+    # per-node (sum over t) reductions ride a one-hot MXU matmul: the
+    # (c, D, f).sum(axis=1) form trips the same Mosaic offset-layout
+    # restriction on some D (e.g. 14), and the one-hot contraction is
+    # layout-robust (same trick as the ops/pallas_eggc one-hot gathers)
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0) // D
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 1)
+    pt = (row_j == col_j).astype(f32)              # [rows, c] one-hot
+    pdims = (((0,), (0,)), ((), ()))
     dm2_slices, dsg_slices, dbh_slices = [], [], []
     for s in range(D):
         sg_s = jnp.broadcast_to(
@@ -364,9 +372,11 @@ def _bwd_kernel(z_ref, de_ref, dh_ref, sg_ref, dg_ref, bh_ref,
                                    axis=-1, keepdims=True))
         dm2_s = dm2_agg + dm2_norm                      # [rows, F] f32
         db_rows = db_rows + dm2_s
-        dsg_slices.append(dm2_s.reshape(c, D, f).sum(axis=1))
+        dsg_slices.append(jax.lax.dot_general(
+            pt, dm2_s, pdims, preferred_element_type=f32))
         ddg_acc = ddg_acc + dm2_s
-        dbh_slices.append((sig * ginv).reshape(c, D, f).sum(axis=1))
+        dbh_slices.append(jax.lax.dot_general(
+            pt, sig * ginv, pdims, preferred_element_type=f32))
         dm2_slices.append(dm2_s.astype(zt.dtype))
     # dm2 rows (j,t,s) = stack s as the fastest axis under (j,t)
     dm2 = jnp.stack(dm2_slices, axis=1).reshape(rows * D, f)

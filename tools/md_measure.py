@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--host-steps", type=int, default=30)
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--dense", action="store_true",
+                    help="dense-neighborhood layout (graph/dense.py)")
     args = ap.parse_args()
 
     from alignn_tpu.chem.atoms import Atoms, atomic_masses
@@ -68,12 +70,22 @@ def main():
 
     g = build_graph(atoms, neighbor_strategy="radius_graph", cutoff=5.0,
                     max_neighbors=12)
-    spec = BucketSpec(
-        n_nodes=((int(g.num_nodes * 1.4) + 128) // 128) * 128,
-        n_edges=((int(g.num_edges * 1.4) + 128) // 128) * 128,
-        n_lg_edges=((int(g.num_lg_edges * 1.4) + 512) // 512) * 512,
-        n_graphs=2)
-    batch = batch_graphs([g], spec, atom_features="cgcnn")
+    if args.dense:
+        from alignn_tpu.graph.dense import dense_batch_graphs, max_in_degree
+
+        D = max_in_degree([g]) + 2
+        n_pad = ((int(g.num_nodes * 1.4) + 128) // 128) * 128
+        spec = BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
+                          n_lg_edges=n_pad * D * D, n_graphs=2,
+                          dense_D=D)
+        batch = dense_batch_graphs([g], spec, atom_features="cgcnn")
+    else:
+        spec = BucketSpec(
+            n_nodes=((int(g.num_nodes * 1.4) + 128) // 128) * 128,
+            n_edges=((int(g.num_edges * 1.4) + 128) // 128) * 128,
+            n_lg_edges=((int(g.num_lg_edges * 1.4) + 512) // 512) * 512,
+            n_graphs=2)
+        batch = batch_graphs([g], spec, atom_features="cgcnn")
     variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
                            train=False)
 
@@ -108,7 +120,8 @@ def main():
     total_steps = args.n_chunks * args.chunk
     print(json.dumps({
         "config": f"md_jit chunk={args.chunk} atoms={args.atoms} "
-                  f"{args.layers}+{args.layers}/{args.hidden}",
+                  f"{args.layers}+{args.layers}/{args.hidden}"
+                  + (" dense" if args.dense else ""),
         "compile_s": round(compile_s, 1),
         "chunk_ms": round(1e3 * wall / args.n_chunks, 1),
         "md_steps_per_s": round(total_steps / wall, 1),
