@@ -288,17 +288,24 @@ class EdgeGatedGraphConv(nn.Module):
         if self.dense_D and self.dense_lstage:
             # fully-fused L-stage (ops/pallas_fused_lstage.py): matmul +
             # gates + aggregation + layernorm + silu + residual in one
-            # kernel, m2 never materialized in HBM.  NOTE the argument
-            # aliasing in L-stage calls: `node_mask` is the E-mask (the
-            # L(g) "nodes" are g's edges) — the fused path folds it into
-            # both gate operands, which masks exactly the pairs that
-            # `edge_mask` (= lg_mask = em_s * em_t) masks.
+            # kernel, m2 never materialized in HBM.  OPT-IN
+            # (ALIGNN_TPU_FUSED_LSTAGE=1): the honest device A/B
+            # (BENCH_NOTES round 3, "fused L-stage post-mortem") measured
+            # it SLOWER for E/F/S training — the step is double-backward
+            # dominated and the fused design forces m2 recompute in
+            # every backward pass, while the unfused path amortizes the
+            # materialized m2; even the pure forward kernel trails XLA's
+            # fusion pipeline (7.5 vs 6.3 ms at batch 64).  Kept as a
+            # validated alternative layout for future shapes/hardware.
+            # NOTE the argument aliasing in L-stage calls: `node_mask`
+            # is the E-mask (the L(g) "nodes" are g's edges) — the fused
+            # path folds it into both gate operands, which masks exactly
+            # the pairs that `edge_mask` (= lg_mask = em_s * em_t) masks.
             import os
 
             if (pallas and self.norm == "layernorm" and self.residual
                     and edge_weight is None
-                    and not os.environ.get(
-                        "ALIGNN_TPU_DISABLE_FUSED_LSTAGE")):
+                    and os.environ.get("ALIGNN_TPU_FUSED_LSTAGE")):
                 e_new, h = self._fused_dense_lstage(
                     e, rev, src_gate, dst_gate, bh, node_mask, pallas)
                 x_new = Dense(self.features, dtype=self.dtype,

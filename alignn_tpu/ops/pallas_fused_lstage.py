@@ -56,12 +56,18 @@ _VMEM_LIMIT = 100 * 2 ** 20
 
 
 def _pick_c(n: int, D: int, f: int, bytes_per_elem: int = 14) -> int:
-    for c in (8, 4, 2, 1):
+    import os
+
+    override = os.environ.get("ALIGNN_TPU_FUSED_C")  # perf experiments
+    cands = (int(override),) if override else (8, 4, 2, 1)
+    for c in cands:
         # Mosaic block rule: last-2 dims divisible by (8, 128) — both
         # the [c*D*D, F] and [c*D, F] blocks must satisfy it
         if (c * D * D) % 8 or (c * D) % 8:
             continue
-        if n % c == 0 and c * D * D * f * bytes_per_elem <= _VMEM_BUDGET:
+        if n % c == 0 and (override
+                           or c * D * D * f * bytes_per_elem
+                           <= _VMEM_BUDGET):
             return c
     return 0
 
@@ -96,6 +102,11 @@ def _xla_fused(z, w, b, sg_f, dg_f, bh, scale, bias, D: int):
 
 def _kernel(z_ref, w_ref, b_ref, sg_ref, dg_ref, bh_ref, sc_ref, bi_ref,
             e_ref, h_ref, *, D: int):
+    # loop-free full-tile algebra (the per-s unrolled variant issued
+    # tiny [c*D, F] vector ops and measured 1.8x SLOWER than unfused;
+    # with the raised scoped-vmem limit the clean 4-D form fits).  The
+    # s-axis reductions use the (rows, D, F).sum(axis=1) 3-D form that
+    # the committed pallas_dense kernels already run on device.
     f = h_ref.shape[-1]
     rows = bh_ref.shape[0]                    # c*D rows (j, t)
     c = rows // D
@@ -104,35 +115,20 @@ def _kernel(z_ref, w_ref, b_ref, sg_ref, dg_ref, bh_ref, sc_ref, bi_ref,
     # MXU: bf16 x bf16 -> f32 accumulation
     eg = jnp.dot(zt, w_ref[:], preferred_element_type=f32) \
         + b_ref[:].astype(f32)                # [c*D*D, F]
-    eg3 = eg.reshape(rows, D, f)              # [(j,t), s, F]
-    z3 = zt.reshape(rows, D, f)
-    sg3 = sg_ref[:].astype(f32).reshape(c, D, f)      # [j, s, F]
-    dg = dg_ref[:].astype(f32)                         # [(j,t), F]
-    bh3 = bh_ref[:].astype(f32).reshape(c, D, f)
-    sc = sc_ref[:].astype(f32)
-    bi = bi_ref[:].astype(f32)
-    num = jnp.zeros((rows, f), f32)
-    den = jnp.zeros((rows, f), f32)
-    e_slices = []
-    # statically-unrolled s-loop: 2-D [c*D, F] slices keep Mosaic's
-    # sublane padding bounded (same pattern as pallas_dense._pair_kernel)
-    for s in range(D):
-        sg_s = jnp.broadcast_to(
-            sg3[:, s, :][:, None, :], (c, D, f)).reshape(rows, f)
-        m2_s = eg3[:, s, :] + sg_s + dg                # [c*D, F] f32
-        sig = jax.nn.sigmoid(m2_s)
-        bh_s = jnp.broadcast_to(
-            bh3[:, s, :][:, None, :], (c, D, f)).reshape(rows, f)
-        num = num + sig * bh_s
-        den = den + sig
-        mean = jnp.mean(m2_s, axis=-1, keepdims=True)
-        var = jnp.mean((m2_s - mean) ** 2, axis=-1, keepdims=True)
-        ln = (m2_s - mean) * jax.lax.rsqrt(var + LN_EPS) * sc + bi
-        e_slices.append(
-            (z3[:, s, :].astype(f32) + _silu(ln)).astype(e_ref.dtype))
+    m2 = (eg.reshape(c, D, D, f)
+          + sg_ref[:].astype(f32).reshape(c, 1, D, f)
+          + dg_ref[:].astype(f32).reshape(c, D, 1, f))   # [c, t, s, F]
+    sig = jax.nn.sigmoid(m2)
+    bh4 = bh_ref[:].astype(f32).reshape(c, 1, D, f)
+    num = (sig * bh4).reshape(rows, D, f).sum(axis=1)
+    den = sig.reshape(rows, D, f).sum(axis=1)
     h_ref[:] = (num / (den + EPS)).astype(h_ref.dtype)
-    e3 = jnp.stack(e_slices, axis=1)          # [(j,t), s, F]
-    e_ref[:] = e3.reshape(rows * D, f)
+    m2r = m2.reshape(rows * D, f)
+    mean = jnp.mean(m2r, axis=-1, keepdims=True)
+    var = jnp.mean((m2r - mean) ** 2, axis=-1, keepdims=True)
+    ln = (m2r - mean) * jax.lax.rsqrt(var + LN_EPS) \
+        * sc_ref[:].astype(f32) + bi_ref[:].astype(f32)
+    e_ref[:] = (zt.astype(f32) + _silu(ln)).astype(e_ref.dtype)
 
 
 def _pallas_fused(z, w, b, sg_f, dg_f, bh, scale, bias, D: int, c: int):
@@ -203,10 +199,14 @@ def _bwd(D, use_pallas, res, cts):
     scatter-free: every transpose in the body is a broadcast,
     reduction, or matmul).
     """
+    import os
+
     z, w, b, sg_f, dg_f, bh, scale, bias = res
     de, dh = cts
+    kernel_bwd = use_pallas and not os.environ.get(
+        "ALIGNN_TPU_DISABLE_FUSED_BWD")
     return _bwd_op(z, w, b, sg_f, dg_f, bh, scale, bias, de, dh,
-                   D, use_pallas)
+                   D, kernel_bwd)
 
 
 fused_pair_lstage.defvjp(_fwd, _bwd)
@@ -302,105 +302,64 @@ def _bwd_kernel(z_ref, de_ref, dh_ref, sg_ref, dg_ref, bh_ref,
     zt = z_ref[:]                             # [cDD, F] model dtype
     eg = jnp.dot(zt, w_ref[:], preferred_element_type=f32) \
         + b_ref[:].astype(f32)
-    eg3 = eg.reshape(rows, D, f)
-    sg3 = sg_ref[:].astype(f32).reshape(c, D, f)
-    dg = dg_ref[:].astype(f32)
-    bh3 = bh_ref[:].astype(f32).reshape(c, D, f)
-    sc = sc_ref[:].astype(f32)
-    bi = bi_ref[:].astype(f32)
-    num = jnp.zeros((rows, f), f32)
-    den = jnp.zeros((rows, f), f32)
-    # first pass accumulates num/den only; m2/sig/bh slices are
-    # RECOMPUTED in the second pass — stashing D [rows, F] f32 slices
-    # triples the VMEM stack and OOMs Mosaic's 16 MB scoped limit
-    for s in range(D):
-        sg_s = jnp.broadcast_to(
-            sg3[:, s, :][:, None, :], (c, D, f)).reshape(rows, f)
-        m2_s = eg3[:, s, :] + sg_s + dg
-        sig = jax.nn.sigmoid(m2_s)
-        bh_s = jnp.broadcast_to(
-            bh3[:, s, :][:, None, :], (c, D, f)).reshape(rows, f)
-        num = num + sig * bh_s
-        den = den + sig
-    den = den + EPS
+    m2 = (eg.reshape(c, D, D, f)
+          + sg_ref[:].astype(f32).reshape(c, 1, D, f)
+          + dg_ref[:].astype(f32).reshape(c, D, 1, f))   # [c, t, s, F]
+    sig = jax.nn.sigmoid(m2)
+    bh4 = bh_ref[:].astype(f32).reshape(c, 1, D, f)
+    # s-axis reductions in the (rows, D, F) 3-D form (device-proven);
+    # t-axis reductions in the (c*D_t <- regrouped) form below
+    num = (sig * bh4).reshape(rows, D, f).sum(axis=1)    # [rows(j,t), F]
+    den = sig.reshape(rows, D, f).sum(axis=1) + EPS
     h = num / den
     dh32 = dh_ref[:].astype(f32)
-    ginv = dh32 / den
+    ginv = dh32 / den                                    # [rows(j,t), F]
     gh = -dh32 * h / den
-    de3 = de_ref[:].reshape(rows, D, f)
-    ddg_acc = jnp.zeros((rows, f), f32)
-    # row-shaped partials for the parameter grads: Mosaic rejects
-    # axis-0 multi_reductions on offset-layout values ("input layout
-    # must have zero offsets over dimensions that are being reduced"),
-    # so accumulate [rows, F] partials and reduce ONCE at the end via a
-    # ones-vector matmul on the MXU
-    db_rows = jnp.zeros((rows, f), f32)
-    dsc_rows = jnp.zeros((rows, f), f32)
-    dbi_rows = jnp.zeros((rows, f), f32)
-    # per-node (sum over t) reductions ride a one-hot MXU matmul: the
-    # (c, D, f).sum(axis=1) form trips the same Mosaic offset-layout
-    # restriction on some D (e.g. 14), and the one-hot contraction is
-    # layout-robust (same trick as the ops/pallas_eggc one-hot gathers)
-    row_j = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 0) // D
-    col_j = jax.lax.broadcasted_iota(jnp.int32, (rows, c), 1)
-    pt = (row_j == col_j).astype(f32)              # [rows, c] one-hot
-    pdims = (((0,), (0,)), ((), ()))
-    dm2_slices, dsg_slices, dbh_slices = [], [], []
-    for s in range(D):
-        sg_s = jnp.broadcast_to(
-            sg3[:, s, :][:, None, :], (c, D, f)).reshape(rows, f)
-        m2_s = eg3[:, s, :] + sg_s + dg
-        sig = jax.nn.sigmoid(m2_s)
-        bh_s = jnp.broadcast_to(
-            bh3[:, s, :][:, None, :], (c, D, f)).reshape(rows, f)
-        dsig = bh_s * ginv + gh
-        dm2_agg = sig * (1.0 - sig) * dsig
-        mean = jnp.mean(m2_s, axis=-1, keepdims=True)
-        var = jnp.mean((m2_s - mean) ** 2, axis=-1, keepdims=True)
-        rstd = jax.lax.rsqrt(var + LN_EPS)
-        xhat = (m2_s - mean) * rstd
-        ln = xhat * sc + bi
-        sl = jax.nn.sigmoid(ln)
-        de_s = de3[:, s, :].astype(f32)
-        dln = de_s * (sl * (1.0 + ln * (1.0 - sl)))
-        dsc_rows = dsc_rows + dln * xhat
-        dbi_rows = dbi_rows + dln
-        dxhat = dln * sc
-        dm2_norm = rstd / f * (f * dxhat
-                               - dxhat.sum(axis=-1, keepdims=True)
-                               - xhat * (dxhat * xhat).sum(
-                                   axis=-1, keepdims=True))
-        dm2_s = dm2_agg + dm2_norm                      # [rows, F] f32
-        db_rows = db_rows + dm2_s
-        dsg_slices.append(jax.lax.dot_general(
-            pt, dm2_s, pdims, preferred_element_type=f32))
-        ddg_acc = ddg_acc + dm2_s
-        dbh_slices.append(jax.lax.dot_general(
-            pt, sig * ginv, pdims, preferred_element_type=f32))
-        dm2_slices.append(dm2_s.astype(zt.dtype))
-    # dm2 rows (j,t,s) = stack s as the fastest axis under (j,t)
-    dm2 = jnp.stack(dm2_slices, axis=1).reshape(rows * D, f)
-    dz_ref[:] = (de_ref[:].astype(f32)
-                 + jnp.dot(dm2, wt_ref[:], preferred_element_type=f32)
+    dsig = bh4 * ginv.reshape(c, D, 1, f) + gh.reshape(c, D, 1, f)
+    dm2_agg = sig * (1.0 - sig) * dsig                   # [c, t, s, F]
+    # dbh[j,s] = sum_t sig*ginv: regroup so the summed axis (t) is the
+    # middle of a 3-D view with lanes D*F (a 128-multiple when F is)
+    sgv = (sig * ginv.reshape(c, D, 1, f)).reshape(c, D, D * f)
+    dbh_ref[:] = sgv.sum(axis=1).reshape(rows, f).astype(dbh_ref.dtype)
+    # layernorm + silu + residual backward on the flat [rows*D, F] view
+    m2r = m2.reshape(rows * D, f)
+    mean = jnp.mean(m2r, axis=-1, keepdims=True)
+    var = jnp.mean((m2r - mean) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (m2r - mean) * rstd
+    sc = sc_ref[:].astype(f32)
+    ln = xhat * sc + bi_ref[:].astype(f32)
+    sl = jax.nn.sigmoid(ln)
+    de32 = de_ref[:].astype(f32)
+    dln = de32 * (sl * (1.0 + ln * (1.0 - sl)))
+    dxhat = dln * sc
+    dm2_norm = rstd / f * (f * dxhat
+                           - dxhat.sum(axis=-1, keepdims=True)
+                           - xhat * (dxhat * xhat).sum(axis=-1,
+                                                       keepdims=True))
+    dm2 = dm2_agg.reshape(rows * D, f) + dm2_norm        # [c*D*D, F] f32
+    dm2_c = dm2.astype(zt.dtype)
+    dz_ref[:] = (de32
+                 + jnp.dot(dm2_c, wt_ref[:], preferred_element_type=f32)
                  ).astype(dz_ref.dtype)
-    dsg_ref[:] = jnp.stack(dsg_slices, axis=1).reshape(rows, f).astype(
-        dsg_ref.dtype)
-    ddg_ref[:] = ddg_acc.astype(ddg_ref.dtype)
-    dbh_ref[:] = jnp.stack(dbh_slices, axis=1).reshape(rows, f).astype(
-        dbh_ref.dtype)
-    # parameter grads accumulate across the sequential grid; the row
-    # reductions ride the MXU (ones-vector matmul, see comment above)
-    dw_t = jax.lax.dot_general(zt, dm2, (((0,), (0,)), ((), ())),
+    # dsg[j,s] = sum_t dm2: same t-middle regroup; ddg[j,t] = sum_s dm2
+    dsg_ref[:] = dm2.reshape(c, D, D * f).sum(axis=1).reshape(
+        rows, f).astype(dsg_ref.dtype)
+    ddg_ref[:] = dm2.reshape(rows, D, f).sum(axis=1).astype(
+        ddg_ref.dtype)
+    # parameter grads accumulate across the sequential grid; row
+    # reductions ride the MXU (ones-vector / zt contractions) -- Mosaic
+    # rejects axis-0 multi_reductions on offset-layout values
+    dw_t = jax.lax.dot_general(zt, dm2_c, (((0,), (0,)), ((), ())),
                                preferred_element_type=f32)
-    ones_r = jnp.ones((1, rows), f32)
+    ones_r = jnp.ones((1, rows * D), f32)
     dims = (((1,), (0,)), ((), ()))
-    db_t = jax.lax.dot_general(ones_r, db_rows, dims,
+    db_t = jax.lax.dot_general(ones_r, dm2, dims,
                                preferred_element_type=f32)
-    dsc_t = jax.lax.dot_general(ones_r, dsc_rows, dims,
+    dsc_t = jax.lax.dot_general(ones_r, dln * xhat, dims,
                                 preferred_element_type=f32)
-    dbi_t = jax.lax.dot_general(ones_r, dbi_rows, dims,
+    dbi_t = jax.lax.dot_general(ones_r, dln, dims,
                                 preferred_element_type=f32)
-
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dw_ref[:] = jnp.zeros_like(dw_ref)

@@ -181,6 +181,7 @@ def test_fused_model_parity(monkeypatch):
 
     model, variables, res_sp = _model_outputs(sp)
     monkeypatch.setenv("ALIGNN_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("ALIGNN_TPU_FUSED_LSTAGE", "1")  # opt-in path
     _, _, res_dn = _model_outputs(dn, variables=variables)
     np.testing.assert_allclose(
         np.asarray(res_dn["out"])[:n_graphs],

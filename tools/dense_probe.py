@@ -53,8 +53,12 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batches", type=int, nargs="*",
                     default=[64, 128, 256])
-    ap.add_argument("--variants", nargs="*", default=["fused"],
-                    help="fused | unfused (ALIGNN_TPU_DISABLE_FUSED_LSTAGE)")
+    ap.add_argument("--variants", nargs="*", default=["unfused"],
+                    help="unfused (production default) | fused "
+                         "(ALIGNN_TPU_FUSED_LSTAGE=1) | fwdonly "
+                         "(fused fwd kernel, XLA backward)")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="measure the pure forward (no autodiff)")
     ap.add_argument("--no-analysis", action="store_true",
                     help="skip XLA cost/memory analysis (avoids a second "
                          "compile per config on the remote service)")
@@ -77,10 +81,13 @@ def main():
     for bs, variant in itertools.product(args.batches, args.variants):
         # the fused-L-stage gate is read at trace time, so flipping the
         # env between freshly-built step fns A/Bs it in ONE process
-        if variant == "unfused":
-            os.environ["ALIGNN_TPU_DISABLE_FUSED_LSTAGE"] = "1"
-        else:
-            os.environ.pop("ALIGNN_TPU_DISABLE_FUSED_LSTAGE", None)
+        os.environ.pop("ALIGNN_TPU_FUSED_LSTAGE", None)
+        os.environ.pop("ALIGNN_TPU_DISABLE_FUSED_BWD", None)
+        if variant == "fused":
+            os.environ["ALIGNN_TPU_FUSED_LSTAGE"] = "1"
+        elif variant == "fwdonly":
+            os.environ["ALIGNN_TPU_FUSED_LSTAGE"] = "1"
+            os.environ["ALIGNN_TPU_DISABLE_FUSED_BWD"] = "1"
         batch = jax.device_put(build_dense(bs))
         # count REAL edges+L-edges for comparable edges/s
         import numpy as np
@@ -88,6 +95,30 @@ def main():
         n_edges = int(np.asarray(batch.edge_mask).sum()
                       + np.asarray(batch.lg_mask).sum())
         n_rows = batch.src.shape[0] + batch.lg_src.shape[0]
+        if args.fwd_only:
+            # pure forward (energy head only, no autodiff): isolates
+            # the forward-kernel cost from the backward/recompute story
+            fcfg = ALIGNNAtomWiseConfig(
+                name="alignn_atomwise", alignn_layers=4, gcn_layers=4,
+                hidden_features=256, embedding_features=64,
+                calculate_gradient=False, gradwise_weight=0.0)
+            fmodel = ALIGNNAtomWise(cfg=fcfg, dtype=jnp.bfloat16)
+            variables = fmodel.init(jax.random.PRNGKey(0), batch,
+                                    batch.r, train=False)
+            fwd = jax.jit(lambda v, bt: fmodel.apply(
+                v, bt, bt.r, train=False)["out"])
+            out = fwd(variables, batch)
+            float(jax.device_get(out).sum())
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = fwd(variables, batch)
+            float(jax.device_get(out).sum())
+            dt = (time.perf_counter() - t0) / args.iters
+            print(json.dumps({
+                "probe": f"dense_fwd_b{bs}_{variant}",
+                "ms": round(1e3 * dt, 2),
+                "real_edges_per_s": round(n_edges / dt)}), flush=True)
+            continue
         state = create_train_state(model, batch, tx)
         step = make_train_step(model, criterion="l1", donate=False)
 
