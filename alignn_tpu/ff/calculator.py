@@ -221,18 +221,6 @@ class Calculator:
             volume=gc.volume, src=src, dst=dst, r=gc.r[keep],
             images=gc.images[keep], lg_src=lg_src, lg_dst=lg_dst)
 
-    def _dense_spec_for(self, g) -> BucketSpec:
-        from alignn_tpu.graph.dense import max_in_degree
-
-        s = self.bucket_slack
-        # degree headroom so thermal motion / relaxation steps that add
-        # a neighbor or two reuse the compile
-        D = max_in_degree([g]) + 2
-        n_pad = _round_up(int(g.num_nodes * s) + 1, 128)
-        return BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
-                          n_lg_edges=n_pad * D * D, n_graphs=2,
-                          dense_D=D)
-
     def _batch_and_fn(self, g, make_fn):
         """Shared bucket/compile management: grow the spec on overflow
         (recompile), batch into it, return (batch, jitted fn)."""
@@ -242,42 +230,63 @@ class Calculator:
             if isinstance(self.model, eALIGNNAtomWise):
                 # eALIGNN has no dense fast paths (its sparse segment
                 # sums require dst-sorted lg indices, which the dense
-                # layout does not provide)
+                # layout does not provide) — a model property, so this
+                # downgrade IS permanent
                 self.dense = False
         if self.dense:
+            from alignn_tpu.graph.dense import AsymmetricEdgesError
+
             try:
                 return self._dense_batch_and_fn(g, make_fn)
-            except ValueError as exc:
+            except AsymmetricEdgesError as exc:
+                # expected per-STRUCTURE condition (e.g. a radius-graph
+                # bond within a float ulp of the cutoff breaks the
+                # reverse involution): fall back to sparse for THIS
+                # call only; later symmetric structures stay dense.
+                # Other ValueErrors (dst-sort, spec consistency) are
+                # invariant violations and propagate.
                 if not self._dense_warned:
-                    print(f"[calculator] dense layout unavailable "
-                          f"({exc}); falling back to sparse")
+                    print(f"[calculator] dense layout unavailable for "
+                          f"this structure ({exc}); using sparse")
                     self._dense_warned = True
-                self.dense = False
-                self._spec, self._fn = None, None
-        if (self._spec is None
-                or getattr(self._spec, "dense_D", 0)
-                or g.num_nodes >= self._spec.n_nodes
-                or g.num_edges >= self._spec.n_edges
-                or g.num_lg_edges >= self._spec.n_lg_edges):
-            self._spec = self._spec_for(g)
-            self._fn = None
-        if self._fn is None:
-            self._fn = make_fn()
-        batch = batch_graphs([g], self._spec,
+                return self._sparse_batch_and_fn(g, make_fn,
+                                                 fallback=True)
+        return self._sparse_batch_and_fn(g, make_fn, fallback=False)
+
+    def _sparse_batch_and_fn(self, g, make_fn, fallback: bool):
+        """Sparse-layout cache: the primary (_spec/_fn) slots when the
+        calculator is configured sparse, a separate fallback pair when
+        dense mode detours for an asymmetric structure."""
+        spec_attr = "_fb_spec" if fallback else "_spec"
+        fn_attr = "_fb_fn" if fallback else "_fn"
+        spec = getattr(self, spec_attr, None)
+        if (spec is None
+                or getattr(spec, "dense_D", 0)
+                or g.num_nodes >= spec.n_nodes
+                or g.num_edges >= spec.n_edges
+                or g.num_lg_edges >= spec.n_lg_edges):
+            spec = self._spec_for(g)
+            setattr(self, spec_attr, spec)
+            setattr(self, fn_attr, None)
+        if getattr(self, fn_attr, None) is None:
+            setattr(self, fn_attr, make_fn())
+        batch = batch_graphs([g], spec,
                              atom_features=self.atom_features,
                              gather_windows=False)
-        return batch, self._fn
+        return batch, getattr(self, fn_attr)
 
     def _dense_batch_and_fn(self, g, make_fn):
         from alignn_tpu.graph.dense import (
-            dense_batch_graphs, max_in_degree)
+            dense_batch_graphs, dense_spec_with_slack, max_in_degree)
 
         if (self._spec is None or not getattr(self._spec, "dense_D", 0)
                 or g.num_nodes >= self._spec.n_nodes
                 or max_in_degree([g]) > self._spec.dense_D):
-            self._spec = self._dense_spec_for(g)
+            self._spec = dense_spec_with_slack(
+                g, bucket_slack=self.bucket_slack)
             self._fn = None
-        # raises ValueError on an asymmetric edge set (caller falls back)
+        # raises AsymmetricEdgesError on an asymmetric edge set (the
+        # caller falls back to sparse for this call)
         batch = dense_batch_graphs([g], self._spec,
                                    atom_features=self.atom_features)
         if self._fn is None:

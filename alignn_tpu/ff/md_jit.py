@@ -140,55 +140,73 @@ def run_md_jit(model, variables, atoms: Atoms,
     log = MDLog()
 
     spec: Optional[BucketSpec] = None
+    sp_spec: Optional[BucketSpec] = None   # sparse fallback bucket
     chunk_cache = {}
+    sp_chunk_cache = {}
+    dense_warned = False
     done = 0
     cur = atoms
+
+    def _sparse_batch(g):
+        nonlocal sp_spec
+        if sp_spec is None or g.num_nodes >= sp_spec.n_nodes or \
+                g.num_edges >= sp_spec.n_edges or \
+                g.num_lg_edges >= sp_spec.n_lg_edges:
+            sp_spec = BucketSpec(
+                n_nodes=((int(g.num_nodes * bucket_slack) + 128)
+                         // 128) * 128,
+                n_edges=((int(g.num_edges * bucket_slack) + 128)
+                         // 128) * 128,
+                n_lg_edges=((int(g.num_lg_edges * bucket_slack) + 512)
+                            // 512) * 512,
+                n_graphs=2)
+            sp_chunk_cache.clear()
+        return batch_graphs([g], sp_spec, atom_features=atom_features,
+                            gather_windows=False), sp_chunk_cache
+
     while done < steps:
         g = build_graph(cur, neighbor_strategy=neighbor_strategy,
                         cutoff=cutoff, max_neighbors=max_neighbors)
         if dense:
             from alignn_tpu.graph.dense import (
-                dense_batch_graphs, max_in_degree)
+                AsymmetricEdgesError,
+                dense_batch_graphs,
+                dense_spec_with_slack,
+                max_in_degree,
+            )
 
             if spec is None or g.num_nodes >= spec.n_nodes or \
                     max_in_degree([g]) > spec.dense_D:
-                D = max_in_degree([g]) + 2  # thermal-motion headroom
-                n_pad = ((int(g.num_nodes * bucket_slack) + 128)
-                         // 128) * 128
-                spec = BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
-                                  n_lg_edges=n_pad * D * D,
-                                  n_graphs=2, dense_D=D)
+                spec = dense_spec_with_slack(g, bucket_slack=bucket_slack)
                 chunk_cache.clear()
-            batch = dense_batch_graphs([g], spec,
-                                       atom_features=atom_features)
+            try:
+                batch = dense_batch_graphs([g], spec,
+                                           atom_features=atom_features)
+                cache = chunk_cache
+            except AsymmetricEdgesError:
+                # per-CHUNK sparse fallback: thermal motion can break
+                # the reverse involution (a bond within a float ulp of
+                # the radius cutoff) — never abort a trajectory over it
+                if not dense_warned:
+                    print("[md_jit] asymmetric edge set this chunk; "
+                          "using the sparse layout for it")
+                    dense_warned = True
+                batch, cache = _sparse_batch(g)
         else:
-            if spec is None or g.num_nodes >= spec.n_nodes or \
-                    g.num_edges >= spec.n_edges or \
-                    g.num_lg_edges >= spec.n_lg_edges:
-                spec = BucketSpec(
-                    n_nodes=((int(g.num_nodes * bucket_slack) + 128)
-                             // 128) * 128,
-                    n_edges=((int(g.num_edges * bucket_slack) + 128)
-                             // 128) * 128,
-                    n_lg_edges=((int(g.num_lg_edges * bucket_slack) + 512)
-                                // 512) * 512,
-                    n_graphs=2)
-                chunk_cache.clear()
-            batch = batch_graphs([g], spec, atom_features=atom_features,
-                                 gather_windows=False)
+            batch, cache = _sparse_batch(g)
         n_pad = batch.z.shape[0]
         masses = np.zeros(n_pad)
         masses[: cur.num_atoms] = masses_np
         n_run = min(chunk_steps, steps - done)
-        if n_run not in chunk_cache:
-            chunk_cache[n_run] = _make_chunk_fn(
+        if n_run not in cache:
+            cache[n_run] = _make_chunk_fn(
                 model, variables, dt, ensemble, temperature_K,
                 friction, n_run)
         frac = jnp.asarray(batch.frac_coords)
         vel = jnp.zeros((n_pad, 3))
         vel = vel.at[: cur.num_atoms].set(vel_np)
 
-        frac, vel, key, epots, ekins = chunk_cache[n_run](
+        frac, vel, key, epots, ekins = cache[n_run](
             batch, jnp.asarray(masses), frac, vel, key)
         frac_h = np.asarray(jax.device_get(frac))[: cur.num_atoms]
         vel_np = np.asarray(jax.device_get(vel))[: cur.num_atoms]

@@ -93,6 +93,28 @@ def dense_spec_for_graphs(graphs: Sequence[GraphData], batch_size: int,
                       n_graphs=batch_size + 1, dense_D=D)
 
 
+def dense_spec_with_slack(g: GraphData, bucket_slack: float = 1.3,
+                          degree_headroom: int = 2,
+                          node_quantum: int = 128) -> BucketSpec:
+    """Reusable dense bucket for a single evolving structure.
+
+    Node slack and degree headroom let thermal motion / relaxation steps
+    that add an atom's neighbor or two reuse the compile (shared by the
+    FF Calculator, jit-MD, and measurement tools).
+    """
+    D = max_in_degree([g]) + degree_headroom
+    n_pad = _round_up(int(g.num_nodes * bucket_slack) + 1, node_quantum)
+    return BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
+                      n_lg_edges=n_pad * D * D, n_graphs=2, dense_D=D)
+
+
+class AsymmetricEdgesError(ValueError):
+    """Raised when a graph lacks the (i->j)/(j->i) reverse involution
+    the dense layout requires; callers treat this as 'use the sparse
+    layout for this structure' (expected for radius graphs with bonds
+    within a float ulp of the cutoff)."""
+
+
 def dense_batch_graphs(graphs: List[GraphData], spec: BucketSpec,
                        atom_features: str = "cgcnn",
                        target_width: int = 1,
@@ -202,7 +224,7 @@ def dense_batch_graphs(graphs: List[GraphData], spec: BucketSpec,
             if not (np.array_equal(g.src[o1], d[o2])
                     and np.array_equal(d[o1], g.src[o2])
                     and np.array_equal(img[o1], -img[o2])):
-                raise ValueError(
+                raise AsymmetricEdgesError(
                     "dense layout requires a symmetric edge set "
                     "(every (i->j, image) must have (j->i, -image))")
             rev_g = np.empty(ne, dtype=np.int64)

@@ -308,12 +308,7 @@ class EdgeGatedGraphConv(nn.Module):
                     and os.environ.get("ALIGNN_TPU_FUSED_LSTAGE")):
                 e_new, h = self._fused_dense_lstage(
                     e, rev, src_gate, dst_gate, bh, node_mask, pallas)
-                x_new = Dense(self.features, dtype=self.dtype,
-                              name="src_update")(x) + h
-                x_new = MaskedLayerNorm(name="norm_nodes")(x_new)
-                x_new = nn.silu(x_new)
-                if self.residual:
-                    x_new = x + x_new
+                x_new = self._node_tail(x, h, node_mask, train)
                 return x_new, e_new
             m, h = self._dense_pair_lstage(
                 e, rev, src_gate, dst_gate, bh, edge_mask, edge_weight,
@@ -493,24 +488,33 @@ class EdgeGatedGraphConv(nn.Module):
             h = (num / (den + 1e-6)).astype(m.dtype)
         return m, h
 
-    def _update_tail(self, x, e, m, h, node_mask, edge_mask, train):
+    def _node_tail(self, x, h, node_mask, train):
+        """Node-side update: src_update + norm + silu + residual.
+        Shared by _update_tail and the fused L-stage branch (whose
+        e-side tail runs inside the kernel)."""
         f = self.features
         x_new = Dense(f, dtype=self.dtype, name="src_update")(x) + h
-
         if self.norm == "batchnorm":
             x_new = MaskedBatchNorm(axis_name=self.axis_name,
                                     name="norm_nodes")(
                 x_new, mask=node_mask, use_running_average=not train)
+        else:
+            x_new = MaskedLayerNorm(name="norm_nodes")(x_new)
+        x_new = nn.silu(x_new)
+        if self.residual:
+            x_new = x + x_new
+        return x_new
+
+    def _update_tail(self, x, e, m, h, node_mask, edge_mask, train):
+        x_new = self._node_tail(x, h, node_mask, train)
+        if self.norm == "batchnorm":
             e_new = MaskedBatchNorm(axis_name=self.axis_name,
                                     name="norm_edges")(
                 m, mask=edge_mask, use_running_average=not train)
         else:
-            x_new = MaskedLayerNorm(name="norm_nodes")(x_new)
             e_new = MaskedLayerNorm(name="norm_edges")(m)
-        x_new = nn.silu(x_new)
         e_new = nn.silu(e_new)
         if self.residual:
-            x_new = x + x_new
             e_new = e + e_new
         return x_new, e_new
 

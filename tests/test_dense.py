@@ -361,6 +361,55 @@ def test_dense_calculator_matches_sparse():
     assert dense_calc._fn is fn1
 
 
+def test_dense_calculator_asymmetric_fallback_is_per_call(monkeypatch):
+    """One asymmetric structure detours to sparse for THAT call only;
+    the next symmetric structure runs dense again (and invariant-type
+    ValueErrors are NOT swallowed)."""
+    import alignn_tpu.graph.dense as gd
+    from alignn_tpu.ff.calculator import Calculator
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8, gradwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    atoms = Atoms(lattice_mat=np.eye(3) * 4.1,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    g = build_graph(atoms, cutoff=5.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    calc = Calculator(model=model, variables=variables, dense=True,
+                      config={"neighbor_strategy": "k-nearest",
+                              "cutoff": 5.0, "max_neighbors": 12})
+
+    real_batcher = gd.dense_batch_graphs
+    fail = {"n": 1}
+
+    def flaky(*a, **kw):
+        if fail["n"]:
+            fail["n"] -= 1
+            raise gd.AsymmetricEdgesError("injected asymmetry")
+        return real_batcher(*a, **kw)
+
+    monkeypatch.setattr(gd, "dense_batch_graphs", flaky)
+    r1 = calc.calculate(atoms)                 # falls back THIS call
+    assert np.isfinite(r1["energy"])
+    assert calc.dense, "fallback must not permanently disable dense"
+    r2 = calc.calculate(atoms)                 # dense again
+    assert calc._spec is not None and calc._spec.dense_D > 0
+    np.testing.assert_allclose(r2["energy"], r1["energy"],
+                               rtol=1e-4, atol=1e-5)
+    # invariant violations must propagate, not downgrade
+    def broken(*a, **kw):
+        raise ValueError("inconsistent dense spec")
+
+    monkeypatch.setattr(gd, "dense_batch_graphs", broken)
+    with pytest.raises(ValueError):
+        calc.calculate(atoms)
+
+
 def test_dense_calculator_config_default():
     """dense_neighborhoods in the training config activates the layout."""
     from alignn_tpu.ff.calculator import Calculator

@@ -78,6 +78,32 @@ def test_jit_md_langevin_runs(setup):
     assert np.isfinite(a.cart_coords).all()
 
 
+def test_jit_md_dense_asymmetric_chunk_falls_back(setup, monkeypatch):
+    """An asymmetric edge set mid-trajectory must not abort the run:
+    that chunk uses the sparse layout and the trajectory continues."""
+    import alignn_tpu.graph.dense as gd
+    from alignn_tpu.ff.md_jit import run_md_jit
+
+    model, variables, _calc, atoms = setup
+    real = gd.dense_batch_graphs
+    fail = {"n": 1}
+
+    def flaky(*a, **kw):
+        if fail["n"]:
+            fail["n"] -= 1
+            raise gd.AsymmetricEdgesError("injected asymmetry")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(gd, "dense_batch_graphs", flaky)
+    a, log = run_md_jit(model, variables, atoms, steps=6,
+                        timestep_fs=0.5, ensemble="nve",
+                        initial_temperature_K=80.0, seed=3, cutoff=5.0,
+                        chunk_steps=3, dense=True)
+    assert fail["n"] == 0
+    assert len(log.rows) == 2
+    assert np.isfinite(a.cart_coords).all()
+
+
 def test_jit_md_dense_matches_sparse(setup):
     """Dense-neighborhood layout reproduces the sparse jit-MD trajectory."""
     from alignn_tpu.ff.md_jit import run_md_jit

@@ -75,84 +75,101 @@ def main():
     model = ALIGNNAtomWise(cfg=cfg, dtype=jnp.bfloat16)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
 
-    import itertools
     import os
 
-    for bs, variant in itertools.product(args.batches, args.variants):
-        # the fused-L-stage gate is read at trace time, so flipping the
-        # env between freshly-built step fns A/Bs it in ONE process
-        os.environ.pop("ALIGNN_TPU_FUSED_LSTAGE", None)
-        os.environ.pop("ALIGNN_TPU_DISABLE_FUSED_BWD", None)
-        if variant == "fused":
-            os.environ["ALIGNN_TPU_FUSED_LSTAGE"] = "1"
-        elif variant == "fwdonly":
-            os.environ["ALIGNN_TPU_FUSED_LSTAGE"] = "1"
-            os.environ["ALIGNN_TPU_DISABLE_FUSED_BWD"] = "1"
+    import numpy as np
+
+    for bs in args.batches:
+        # build + upload the batch ONCE per size (the remote tunnel
+        # makes transfers expensive); variants share it
         batch = jax.device_put(build_dense(bs))
         # count REAL edges+L-edges for comparable edges/s
-        import numpy as np
-
         n_edges = int(np.asarray(batch.edge_mask).sum()
                       + np.asarray(batch.lg_mask).sum())
         n_rows = batch.src.shape[0] + batch.lg_src.shape[0]
-        if args.fwd_only:
-            # pure forward (energy head only, no autodiff): isolates
-            # the forward-kernel cost from the backward/recompute story
-            fcfg = ALIGNNAtomWiseConfig(
-                name="alignn_atomwise", alignn_layers=4, gcn_layers=4,
-                hidden_features=256, embedding_features=64,
-                calculate_gradient=False, gradwise_weight=0.0)
-            fmodel = ALIGNNAtomWise(cfg=fcfg, dtype=jnp.bfloat16)
-            variables = fmodel.init(jax.random.PRNGKey(0), batch,
-                                    batch.r, train=False)
-            fwd = jax.jit(lambda v, bt: fmodel.apply(
-                v, bt, bt.r, train=False)["out"])
-            out = fwd(variables, batch)
-            float(jax.device_get(out).sum())
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = fwd(variables, batch)
-            float(jax.device_get(out).sum())
-            dt = (time.perf_counter() - t0) / args.iters
-            print(json.dumps({
-                "probe": f"dense_fwd_b{bs}_{variant}",
-                "ms": round(1e3 * dt, 2),
-                "real_edges_per_s": round(n_edges / dt)}), flush=True)
-            continue
-        state = create_train_state(model, batch, tx)
-        step = make_train_step(model, criterion="l1", donate=False)
+        for variant in args.variants:
+            # the fused-L-stage gate is read at trace time, so flipping
+            # the env between freshly-built step fns A/Bs it in ONE
+            # process
+            os.environ.pop("ALIGNN_TPU_FUSED_LSTAGE", None)
+            os.environ.pop("ALIGNN_TPU_DISABLE_FUSED_BWD", None)
+            if variant == "fused":
+                os.environ["ALIGNN_TPU_FUSED_LSTAGE"] = "1"
+            elif variant == "fwdonly":
+                os.environ["ALIGNN_TPU_FUSED_LSTAGE"] = "1"
+                os.environ["ALIGNN_TPU_DISABLE_FUSED_BWD"] = "1"
+            _run_variant(args, model, tx, batch, bs, variant,
+                         n_edges, n_rows)
 
-        state, losses = step(state, batch)  # compile
-        float(jax.device_get(losses["loss"]))
+
+def _run_variant(args, model, tx, batch, bs, variant, n_edges, n_rows):
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.train.state import create_train_state, make_train_step
+
+    if args.fwd_only:
+        # pure forward (energy head only, no autodiff): isolates
+        # the forward-kernel cost from the backward/recompute story
+        fcfg = ALIGNNAtomWiseConfig(
+            name="alignn_atomwise", alignn_layers=4, gcn_layers=4,
+            hidden_features=256, embedding_features=64,
+            calculate_gradient=False, gradwise_weight=0.0)
+        fmodel = ALIGNNAtomWise(cfg=fcfg, dtype=jnp.bfloat16)
+        variables = fmodel.init(jax.random.PRNGKey(0), batch,
+                                batch.r, train=False)
+        fwd = jax.jit(lambda v, bt: fmodel.apply(
+            v, bt, bt.r, train=False)["out"])
+        out = fwd(variables, batch)
+        float(jax.device_get(out).sum())
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            state, losses = step(state, batch)
-        float(jax.device_get(losses["loss"]))
+            out = fwd(variables, batch)
+        float(jax.device_get(out).sum())
         dt = (time.perf_counter() - t0) / args.iters
-        rec = {"probe": f"dense_step_b{bs}_{variant}",
-               "ms": round(1e3 * dt, 1),
-               "real_edges_per_s": round(n_edges / dt),
-               "rows": n_rows, "D": batch.dense_D}
-        if args.no_analysis:
-            print(json.dumps(rec), flush=True)
-            continue
-        try:
-            compiled = jax.jit(step.__wrapped__
-                               if hasattr(step, "__wrapped__") else step,
-                               donate_argnums=()).lower(
-                state, batch).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            ma = compiled.memory_analysis()
-            rec["gflops"] = round(float(ca.get("flops", 0)) / 1e9, 1)
-            rec["gbytes"] = round(
-                float(ca.get("bytes accessed", 0)) / 1e9, 2)
-            if ma is not None:
-                rec["temp_mb"] = round(ma.temp_size_in_bytes / 1e6)
-        except Exception as exc:  # noqa: BLE001
-            rec["analysis_error"] = str(exc)[:120]
+        print(json.dumps({
+            "probe": f"dense_fwd_b{bs}_{variant}",
+            "ms": round(1e3 * dt, 2),
+            "real_edges_per_s": round(n_edges / dt)}), flush=True)
+        return
+    state = create_train_state(model, batch, tx)
+    step = make_train_step(model, criterion="l1", donate=False)
+
+    state, losses = step(state, batch)  # compile
+    float(jax.device_get(losses["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, losses = step(state, batch)
+    float(jax.device_get(losses["loss"]))
+    dt = (time.perf_counter() - t0) / args.iters
+    rec = {"probe": f"dense_step_b{bs}_{variant}",
+           "ms": round(1e3 * dt, 1),
+           "real_edges_per_s": round(n_edges / dt),
+           "rows": n_rows, "D": batch.dense_D}
+    if args.no_analysis:
         print(json.dumps(rec), flush=True)
+        return
+    try:
+        compiled = jax.jit(step.__wrapped__
+                           if hasattr(step, "__wrapped__") else step,
+                           donate_argnums=()).lower(
+            state, batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        ma = compiled.memory_analysis()
+        rec["gflops"] = round(float(ca.get("flops", 0)) / 1e9, 1)
+        rec["gbytes"] = round(
+            float(ca.get("bytes accessed", 0)) / 1e9, 2)
+        if ma is not None:
+            rec["temp_mb"] = round(ma.temp_size_in_bytes / 1e6)
+    except Exception as exc:  # noqa: BLE001
+        rec["analysis_error"] = str(exc)[:120]
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

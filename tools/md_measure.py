@@ -71,13 +71,10 @@ def main():
     g = build_graph(atoms, neighbor_strategy="radius_graph", cutoff=5.0,
                     max_neighbors=12)
     if args.dense:
-        from alignn_tpu.graph.dense import dense_batch_graphs, max_in_degree
+        from alignn_tpu.graph.dense import (
+            dense_batch_graphs, dense_spec_with_slack)
 
-        D = max_in_degree([g]) + 2
-        n_pad = ((int(g.num_nodes * 1.4) + 128) // 128) * 128
-        spec = BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
-                          n_lg_edges=n_pad * D * D, n_graphs=2,
-                          dense_D=D)
+        spec = dense_spec_with_slack(g, bucket_slack=1.4)
         batch = dense_batch_graphs([g], spec, atom_features="cgcnn")
     else:
         spec = BucketSpec(
