@@ -225,15 +225,6 @@ class Calculator:
         """Shared bucket/compile management: grow the spec on overflow
         (recompile), batch into it, return (batch, jitted fn)."""
         if self.dense:
-            from alignn_tpu.nn.ealignn import eALIGNNAtomWise
-
-            if isinstance(self.model, eALIGNNAtomWise):
-                # eALIGNN has no dense fast paths (its sparse segment
-                # sums require dst-sorted lg indices, which the dense
-                # layout does not provide) — a model property, so this
-                # downgrade IS permanent
-                self.dense = False
-        if self.dense:
             from alignn_tpu.graph.dense import AsymmetricEdgesError
 
             try:

@@ -142,7 +142,15 @@ class eALIGNNAtomWise(nn.Module):
             batch.edge_mask
         lg_keep = keep[batch.lg_src] * keep[batch.lg_dst] * batch.lg_mask
 
-        cosines = bond_cosines(r, batch.lg_src, batch.lg_dst)
+        # dense-neighborhood layout: node-local cosines, block-reduction
+        # aggregations (the soft inner-cutoff weights ride the layers'
+        # XLA weight branches — the Pallas/fused paths require binary
+        # masks, which `keep` is not at the layer API level)
+        from alignn_tpu.ops.basis import bond_cosines_dense
+
+        cosines = bond_cosines_dense(r, batch.dense_D) \
+            if batch.dense_D else \
+            bond_cosines(r, batch.lg_src, batch.lg_dst)
 
         x = MLPLayer(cfg.hidden_features, name="atom_embedding", **kw)(
             batch.atom_features, mask=batch.node_mask, train=train)
@@ -163,16 +171,23 @@ class eALIGNNAtomWise(nn.Module):
 
         for i in range(cfg.alignn_layers):
             x, y, z = ALIGNNConv(cfg.hidden_features,
+                                 dense_D=batch.dense_D,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 node_mask=batch.node_mask, edge_mask=keep,
                 lg_mask=lg_keep, train=train, edge_weight=keep,
-                lg_weight=lg_keep)
+                lg_weight=lg_keep,
+                src_perm=batch.src_perm, src_perm_inv=batch.src_perm_inv,
+                lg_src_perm=batch.lg_src_perm,
+                lg_src_perm_inv=batch.lg_src_perm_inv, rev=batch.rev)
         for i in range(cfg.gcn_layers):
             x, y = EdgeGatedGraphConv(cfg.hidden_features,
+                                      dense_D=batch.dense_D,
                                       name=f"gcn_layers_{i}", **kw)(
                 x, y, batch.src, batch.dst, node_mask=batch.node_mask,
-                edge_mask=keep, train=train, edge_weight=keep)
+                edge_mask=keep, train=train, edge_weight=keep,
+                src_perm=batch.src_perm,
+                src_perm_inv=batch.src_perm_inv)
 
         result: Dict[str, jnp.ndarray] = {}
         h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)

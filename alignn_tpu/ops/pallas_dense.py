@@ -36,6 +36,18 @@ from jax.experimental import pallas as pl
 TN = 128       # output rows per tile
 EPS = 1e-6
 MASK_SHIFT = 1e9   # additive logit shift for masked slots
+# Mosaic's default scoped-vmem cap is 16 MB; request the raised limit
+# (v5e has 128 MB physical VMEM) and fall back to XLA when even a
+# conservative estimate of the tile footprint would exceed the budget
+# (radius graphs reach D ~ 35+ where the [TN*D, F] f32 blocks blow up).
+_VMEM_LIMIT = 100 * 2 ** 20
+_VMEM_BUDGET = 64 * 2 ** 20
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def fold_mask(m: jnp.ndarray, mask, weight=None) -> jnp.ndarray:
@@ -78,6 +90,7 @@ def _pallas_dense_aggregate(m, bh, D: int):
         ],
         out_specs=pl.BlockSpec((TN, f), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows // D, f), bh.dtype),
+        compiler_params=_compiler_params(),
         interpret=jax.default_backend() == "cpu",
     )(m, bh)
 
@@ -88,8 +101,11 @@ def dense_gated_aggregate(m, bh, D: int, use_pallas: bool = True):
 
     m, bh: [M*D, F] (D-blocks); returns [M, F].
     """
+    # tile footprint: two [TN*D, F] input blocks (double-buffered) plus
+    # the in-kernel f32 casts/sigma — ~6 elem-copies in f32
+    tile_bytes = TN * D * m.shape[-1] * 4 * 6
     if use_pallas and m.shape[0] % (TN * D) == 0 and \
-            m.shape[-1] % 128 == 0:
+            m.shape[-1] % 128 == 0 and tile_bytes <= _VMEM_BUDGET:
         return _pallas_dense_aggregate(m, bh, D)
     return _xla_dense_aggregate(m, bh, D)
 
@@ -177,6 +193,7 @@ def _pallas_pair_aggregate(m2, bh, D: int):
         ],
         out_specs=pl.BlockSpec((c * D, f), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n * D, f), bh.dtype),
+        compiler_params=_compiler_params(),
         interpret=jax.default_backend() == "cpu",
     )(m2, bh)
 
@@ -191,7 +208,9 @@ def dense_pair_aggregate(m2, bh, D: int, use_pallas: bool = True):
     apply the rev permutation).
     """
     n = bh.shape[0] // D
-    if use_pallas and n % C_NODES == 0 and m2.shape[-1] % 128 == 0:
+    tile_bytes = C_NODES * D * D * m2.shape[-1] * 4 * 6
+    if use_pallas and n % C_NODES == 0 and m2.shape[-1] % 128 == 0 \
+            and tile_bytes <= _VMEM_BUDGET:
         return _pallas_pair_aggregate(m2, bh, D)
     return _xla_pair_aggregate(m2, bh, D)
 

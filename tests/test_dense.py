@@ -293,6 +293,74 @@ def test_pair_kernel_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dense_ealignn_matches_sparse():
+    """eALIGNN on a dense batch == sparse batch (E/F/S), same params.
+
+    The inner-cutoff soft weights ride the layers' XLA weight branches
+    in dense mode; cosines are the node-local dense form."""
+    from alignn_tpu.nn.ealignn import (
+        eALIGNNAtomWise,
+        eALIGNNAtomWiseConfig,
+        ealignn_forward,
+    )
+
+    graphs = _graphs(2, seed=11)
+    sp = batch_graphs(graphs, BucketSpec.tight_for_batch(graphs),
+                      target_width=1)
+    dn = dense_batch_graphs(graphs, dense_spec_for_batch(graphs),
+                            target_width=1)
+    n_real = sum(g.num_nodes for g in graphs)
+    n_graphs = len(graphs)
+
+    cfg = eALIGNNAtomWiseConfig(
+        alignn_layers=1, gcn_layers=1, hidden_features=32,
+        embedding_features=16, gradwise_weight=1.0,
+        stresswise_weight=0.1, inner_cutoff=4.0)
+    model = eALIGNNAtomWise(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(2), sp, sp.frac_coords,
+                           train=False)
+    res_sp = ealignn_forward(model, variables, sp, train=False)
+    res_dn = ealignn_forward(model, variables, dn, train=False)
+    np.testing.assert_allclose(
+        np.asarray(res_dn["out"])[:n_graphs],
+        np.asarray(res_sp["out"])[:n_graphs], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_dn["grad"])[:n_real],
+        np.asarray(res_sp["grad"])[:n_real], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_dn["stresses"])[:n_graphs],
+        np.asarray(res_sp["stresses"])[:n_graphs], rtol=5e-4, atol=5e-5)
+
+
+def test_dense_calculator_ealignn():
+    """The FF Calculator runs eALIGNN on the dense layout (the round-2
+    permanent sparse downgrade is gone)."""
+    from alignn_tpu.ff.calculator import Calculator
+    from alignn_tpu.nn.ealignn import eALIGNNAtomWise, eALIGNNAtomWiseConfig
+
+    cfg = eALIGNNAtomWiseConfig(
+        alignn_layers=1, gcn_layers=1, hidden_features=16,
+        embedding_features=8, gradwise_weight=1.0, inner_cutoff=4.0)
+    model = eALIGNNAtomWise(cfg=cfg)
+    atoms = Atoms(lattice_mat=np.eye(3) * 4.1,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    g = build_graph(atoms, cutoff=5.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch,
+                           batch.frac_coords, train=False)
+    common = dict(model=model, variables=variables,
+                  config={"neighbor_strategy": "k-nearest",
+                          "cutoff": 5.0, "max_neighbors": 12,
+                          "model": {"name": "ealignn_atomwise"}})
+    rd = Calculator(dense=True, **common).calculate(atoms)
+    rs = Calculator(dense=False, **common).calculate(atoms)
+    np.testing.assert_allclose(rd["energy"], rs["energy"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rd["forces"], rs["forces"],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_dense_dp_train_step():
     """Dense batches compose with data parallelism (dense_D is a static
     pytree field, so per-device shards keep the block layout)."""
