@@ -225,7 +225,24 @@ class Calculator:
         """Shared bucket/compile management: grow the spec on overflow
         (recompile), batch into it, return (batch, jitted fn)."""
         if self.dense:
-            from alignn_tpu.graph.dense import AsymmetricEdgesError
+            from alignn_tpu.graph.dense import (
+                AsymmetricEdgesError, max_in_degree)
+
+            # dense is a k-NN-build optimization (near-uniform degree):
+            # high-degree radius graphs pad N*D^2 L-rows to ~1%
+            # occupancy and measured 5x SLOWER (BENCH_NOTES md_jit
+            # layout A/B) — route them to sparse
+            D = max_in_degree([g])
+            occ = g.num_edges / max(g.num_nodes * max(D, 1), 1)
+            if D > 20 or occ < 0.4:
+                if not self._dense_warned:
+                    print(f"[calculator] dense layout skipped: in-degree"
+                          f" {D} / occupancy {occ:.2f} would waste the "
+                          f"D^2 padding (k-NN builds are the dense "
+                          f"target); using sparse")
+                    self._dense_warned = True
+                return self._sparse_batch_and_fn(g, make_fn,
+                                                 fallback=True)
 
             try:
                 return self._dense_batch_and_fn(g, make_fn)

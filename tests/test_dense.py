@@ -293,6 +293,27 @@ def test_pair_kernel_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_dense_property_model_matches_sparse():
+    """The BatchNorm property model (ALIGNN) on dense == sparse."""
+    from alignn_tpu.nn.models import ALIGNN, ALIGNNConfig
+
+    graphs = _graphs(2, seed=13)
+    sp = batch_graphs(graphs, BucketSpec.tight_for_batch(graphs),
+                      target_width=1)
+    dn = dense_batch_graphs(graphs, dense_spec_for_batch(graphs),
+                            target_width=1)
+    n_graphs = len(graphs)
+    cfg = ALIGNNConfig(name="alignn", alignn_layers=1, gcn_layers=1,
+                       hidden_features=32, embedding_features=16)
+    model = ALIGNN(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(3), sp, train=False)
+    out_sp = model.apply(variables, sp, train=False)
+    out_dn = model.apply(variables, dn, train=False)
+    np.testing.assert_allclose(np.asarray(out_dn)[:n_graphs],
+                               np.asarray(out_sp)[:n_graphs],
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_dense_ealignn_matches_sparse():
     """eALIGNN on a dense batch == sparse batch (E/F/S), same params.
 

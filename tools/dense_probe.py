@@ -59,6 +59,9 @@ def main():
                          "(fused fwd kernel, XLA backward)")
     ap.add_argument("--fwd-only", action="store_true",
                     help="measure the pure forward (no autodiff)")
+    ap.add_argument("--ef-only", action="store_true",
+                    help="measure atomwise_forward (E/F/S, first-order "
+                         "force VJP, no training grad)")
     ap.add_argument("--no-analysis", action="store_true",
                     help="skip XLA cost/memory analysis (avoids a second "
                          "compile per config on the remote service)")
@@ -133,6 +136,31 @@ def _run_variant(args, model, tx, batch, bs, variant, n_edges, n_rows):
         dt = (time.perf_counter() - t0) / args.iters
         print(json.dumps({
             "probe": f"dense_fwd_b{bs}_{variant}",
+            "ms": round(1e3 * dt, 2),
+            "real_edges_per_s": round(n_edges / dt)}), flush=True)
+        return
+    if args.ef_only:
+        # E + forces + stress (the MD/inference workload): first-order
+        # force VJP only — decomposes the train step's outer-grad share
+        from alignn_tpu.nn.models import atomwise_forward
+
+        variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                               train=False)
+
+        def ef(v, bt):
+            res = atomwise_forward(model, v, bt, train=False)
+            return res["out"], res["grad"], res["stresses"]
+
+        eff = jax.jit(ef)
+        out = eff(variables, batch)
+        float(jax.device_get(out[1]).sum())
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = eff(variables, batch)
+        float(jax.device_get(out[1]).sum())
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "probe": f"dense_ef_b{bs}_{variant}",
             "ms": round(1e3 * dt, 2),
             "real_edges_per_s": round(n_edges / dt)}), flush=True)
         return
