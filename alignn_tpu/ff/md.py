@@ -100,6 +100,12 @@ def run_md(calc, atoms: Atoms,
     ensemble = ensemble.lower()
     if ensemble == "npt":
         ensemble = "npt_berendsen"
+    known = ("nve", "nvt_langevin", "nvt_andersen", "nvt_berendsen",
+             "nvt_nose_hoover", "npt_berendsen", "npt_nose_hoover")
+    if ensemble not in known:
+        raise ValueError(f"unknown ensemble {ensemble!r}; expected one "
+                         f"of {known} (a typo would otherwise silently "
+                         f"run unthermostatted NVE)")
     dt = timestep_fs * FS
     taut = (taut_fs or 100.0 * timestep_fs) * FS
     taup = (taup_fs or 1000.0 * timestep_fs) * FS
@@ -131,6 +137,45 @@ def run_md(calc, atoms: Atoms,
 
     for step in range(steps):
         v = state.velocities
+
+        # barostats act at step START on the previous evaluation's
+        # stress (ASE NPTBerendsen.scale_positions_and_cell ordering) --
+        # one force evaluation per step, not two
+        if ensemble == "npt_berendsen":
+            from alignn_tpu.nn.models import EV_A3_TO_GPA
+
+            stress = res["stress_3x3"] * EV_A3_TO_GPA  # eV/A^3 -> GPa
+            p_inst = float(-np.trace(stress) / 3.0)
+            base = 1.0 - (dt / taup) * compressibility_GPa \
+                * (pressure_GPa - p_inst)
+            # clamp BEFORE the cube root: a tight barostat far from
+            # equilibrium can drive the base negative (complex mu)
+            mu = float(np.clip(max(base, 1e-6) ** (1.0 / 3.0),
+                               0.99, 1.01))
+            state = MDState(atoms=Atoms(
+                lattice_mat=state.atoms.lattice_mat * mu,
+                frac_coords=state.atoms.frac_coords,
+                elements=state.atoms.elements),
+                velocities=v, masses=m)
+        elif ensemble == "npt_nose_hoover":
+            # isotropic MTK-style barostat: d(p_eps)/dt =
+            # 3V (P_int - P_ext) + kinetic correction; cell scales by
+            # exp(dt p_eps / W).  (Reference drives ASE's NPT class,
+            # ff/ff.py:556-575 -- same physics, simplified isotropic.)
+            p_ext = pressure_GPa / 160.21766208  # GPa -> eV/A^3
+            vol = float(state.atoms.volume)
+            p_int = float(-np.trace(res["stress_3x3"]) / 3.0)
+            ke = float(0.5 * (m[:, None] * v ** 2).sum())
+            dp = 3.0 * vol * (p_int - p_ext) + 2.0 * ke * 3.0 / g_dof
+            p_eps = p_eps + dt * dp
+            mu = float(np.exp(dt * p_eps / w_bar))
+            mu = min(max(mu, 0.99), 1.01)  # stability clamp per step
+            state = MDState(atoms=Atoms(
+                lattice_mat=state.atoms.lattice_mat * mu,
+                frac_coords=state.atoms.frac_coords,
+                elements=state.atoms.elements),
+                velocities=v, masses=m)
+
         a_t = forces / m[:, None]
 
         if ensemble == "nvt_langevin":
@@ -176,6 +221,10 @@ def run_md(calc, atoms: Atoms,
                 sigma = np.sqrt(KB * temperature_K / m[hit])[:, None]
                 v = v.copy()
                 v[hit] = sigma * rng.standard_normal((int(hit.sum()), 3))
+                # ASE Andersen fixcm parity: collisions inject net
+                # momentum; restore zero COM momentum so it cannot
+                # random-walk (and bias the measured temperature)
+                v = v - (m[:, None] * v).sum(axis=0) / m.sum()
 
         if ensemble in ("nvt_berendsen", "npt_berendsen"):
             state_T = 2.0 * float(
@@ -186,43 +235,6 @@ def run_md(calc, atoms: Atoms,
                                      - 1.0), 1e-12))
             v = v * lam
 
-        if ensemble == "npt_berendsen":
-            # isotropic Berendsen barostat on the instantaneous pressure:
-            # P = (2 Ekin/3 - virial)/V; use model stress trace instead
-            from alignn_tpu.nn.models import EV_A3_TO_GPA
-
-            stress = res["stress_3x3"] * EV_A3_TO_GPA  # eV/A^3 -> GPa
-            p_inst = float(-np.trace(stress) / 3.0)
-            mu = (1.0 - (dt / taup) * compressibility_GPa
-                  * (pressure_GPa - p_inst)) ** (1.0 / 3.0)
-            new_atoms = Atoms(
-                lattice_mat=new_atoms.lattice_mat * mu,
-                frac_coords=new_atoms.frac_coords,
-                elements=new_atoms.elements)
-            res = calc.calculate(new_atoms)
-            forces = res["forces"]
-            epot = res["energy"]
-        elif ensemble == "npt_nose_hoover":
-            # isotropic MTK-style barostat: d(p_eps)/dt =
-            # 3V (P_int - P_ext) + kinetic correction; cell scales by
-            # exp(dt p_eps / W).  (Reference drives ASE's NPT class,
-            # ff/ff.py:556-575 — same physics, simplified isotropic.)
-            p_ext = pressure_GPa / 160.21766208  # GPa -> eV/A^3
-            vol = float(new_atoms.volume)
-            p_int = float(-np.trace(res["stress_3x3"]) / 3.0)
-            ke = float(0.5 * (m[:, None] * v ** 2).sum())
-            dp = 3.0 * vol * (p_int - p_ext) + 2.0 * ke * 3.0 / g_dof
-            p_eps = p_eps + dt * dp
-            mu = float(np.exp(dt * p_eps / w_bar))
-            mu = min(max(mu, 0.99), 1.01)  # stability clamp per step
-            new_atoms = Atoms(
-                lattice_mat=new_atoms.lattice_mat * mu,
-                frac_coords=new_atoms.frac_coords,
-                elements=new_atoms.elements)
-            res = calc.calculate(new_atoms)
-            forces = res["forces"]
-            epot = res["energy"]
-
         state = MDState(atoms=new_atoms, velocities=v, masses=m)
         if step % log_interval == 0 or step == steps - 1:
             row_extra = {}
@@ -232,7 +244,9 @@ def run_md(calc, atoms: Atoms,
                     float(epot) + state.kinetic_energy
                     + 0.5 * q_nh * xi ** 2
                     + g_dof * KB * temperature_K * eta)
-            log.append(step, step * timestep_fs, float(epot),
+            # the state has been integrated (step+1) times -- log the
+            # matching time (ASE MDLogger: time = nsteps_done * dt)
+            log.append(step + 1, (step + 1) * timestep_fs, float(epot),
                        state.kinetic_energy, state.temperature)
             if row_extra:
                 log.rows[-1].update(row_extra)

@@ -114,8 +114,7 @@ def mode_gruneisen(calc, atoms: Atoms, supercell=(2, 2, 2),
             "q_points": q_points}
 
 
-def debye_temperature(fcdata: Dict, atoms: Atoms,
-                      mesh=(6, 6, 6)) -> float:
+def debye_temperature(fcdata: Dict, mesh=(6, 6, 6)) -> float:
     """Theta_D from the mean phonon frequency of the DOS:
     Theta_D = (h nu_D) / kB with nu_D^3 proportional to <nu^2>^{3/2}
     (moment-based Debye fit)."""
@@ -138,14 +137,18 @@ def thermal_conductivity(calc, atoms: Atoms, supercell=(2, 2, 2),
                          mesh=(6, 6, 6)) -> Dict:
     """kappa(T) via the Slack model with computed Theta_D and gamma.
 
-    kappa = A M_avg Theta_D^3 delta n^(1/3) / (gamma^2 T), with
-    A = 3.1e-6 (Slack's constant for kappa in W/mK, M in amu, delta in
-    Angstrom).  Grüneisen comes from :func:`mode_gruneisen` (finite
-    volume differences of the REAL harmonic spectrum of the model) —
-    see module docstring for the relation to phono3py's RTA.
+    kappa = A M_avg theta_a^3 delta n^(1/3) / (gamma^2 T) with the
+    ACOUSTIC Debye temperature theta_a = Theta_D * n^(-1/3) (Slack 1973;
+    Morelli & Slack 2006) — :func:`debye_temperature` returns the
+    full-spectrum Theta_D, so the n factors combine to
+    kappa = A M Theta_D^3 delta / (gamma^2 T n^(2/3)).  A = 3.1e-6
+    (kappa in W/mK, M in amu, delta in Angstrom).  Grüneisen comes from
+    :func:`mode_gruneisen` (finite volume differences of the REAL
+    harmonic spectrum of the model) — see module docstring for the
+    relation to phono3py's RTA.
     """
     fc = force_constants(calc, atoms, supercell=supercell)
-    theta_d = debye_temperature(fc, atoms, mesh=mesh)
+    theta_d = debye_temperature(fc, mesh=mesh)
     gru = mode_gruneisen(calc, atoms, supercell=supercell)
     gamma = max(gru["mean_abs_gruneisen"], 0.05)
 
@@ -157,7 +160,7 @@ def thermal_conductivity(calc, atoms: Atoms, supercell=(2, 2, 2),
     kappa = np.where(
         temps > 0,
         a_const * m_avg * theta_d ** 3 * delta
-        * n_atoms ** (1.0 / 3.0) / (gamma ** 2 * np.maximum(temps, 1.0)),
+        / (n_atoms ** (2.0 / 3.0) * gamma ** 2 * np.maximum(temps, 1.0)),
         0.0)
     return {"temperatures": temps.tolist(), "kappa_w_mk": kappa.tolist(),
             "theta_d_K": theta_d, "gruneisen": gamma,

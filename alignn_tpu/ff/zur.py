@@ -94,17 +94,26 @@ def zur_matches(film_ab: np.ndarray, sub_ab: np.ndarray,
         # enumerates all pairs within tolerance; floor AND ceil cover
         # the near-half-integer ratios a single round() would miss)
         ratio = area / a_film
-        candidates = sorted({max(int(np.floor(ratio)), 1),
-                             max(int(np.ceil(ratio)), 1)})
+        # EVERY film multiple inside the area tolerance window (not just
+        # floor/ceil of the ratio: small film cells admit several)
         area_tol = 2 * max_length_tol + max_length_tol ** 2
-        n_films = [n for n in candidates
+        lo = max(int(np.ceil(ratio * (1 - area_tol))), 1)
+        hi = max(int(np.floor(ratio * (1 + area_tol))), 1)
+        n_films = [n for n in range(lo, hi + 1)
                    if abs(n * a_film - area) / area <= area_tol]
+        if not n_films:
+            continue
+        # substrate candidates depend only on n_sub — hoist out of the
+        # film-transform loop (was O(#tf * #ts) reductions)
+        sub_cands = []
+        for ts in _hnf_transforms(n_sub):
+            s_sl = ts.astype(np.float64) @ sub_ab
+            su, sv, ms = _reduce_vectors(s_sl[0], s_sl[1])
+            sub_cands.append((ts, su, sv, ms))
         for tf in (t for n in n_films for t in _hnf_transforms(n)):
             f_sl = tf.astype(np.float64) @ film_ab
             fu, fv, mf = _reduce_vectors(f_sl[0], f_sl[1])
-            for ts in _hnf_transforms(n_sub):
-                s_sl = ts.astype(np.float64) @ sub_ab
-                su, sv, ms = _reduce_vectors(s_sl[0], s_sl[1])
+            for ts, su, sv, ms in sub_cands:
                 lu_f, lv_f = np.linalg.norm(fu), np.linalg.norm(fv)
                 lu_s, lv_s = np.linalg.norm(su), np.linalg.norm(sv)
                 if abs(lu_f - lu_s) / lu_s > max_length_tol:
@@ -122,10 +131,14 @@ def zur_matches(film_ab: np.ndarray, sub_ab: np.ndarray,
                 s2 = np.stack([su, sv])
                 gf = f2 @ f2.T  # metric tensors
                 gs = s2 @ s2.T
-                # polar-decomposition-free strain estimate from metrics:
-                # F^T F = gf^-1 gs in the film basis; strain = sqrt - I
-                m_map = np.linalg.solve(gf, gs)
-                w, vec = np.linalg.eigh(0.5 * (m_map + m_map.T))
+                # principal stretches^2 = eigvals of the PENCIL
+                # det(gs - lambda gf) = 0 (gf^-1 gs is non-symmetric for
+                # anisotropic film bases; naive symmetrization perturbs
+                # the stretches).  Solve via gf^-1/2 gs gf^-1/2.
+                wf, vf = np.linalg.eigh(gf)
+                gf_isqrt = vf @ np.diag(
+                    1.0 / np.sqrt(np.maximum(wf, 1e-18))) @ vf.T
+                w, vec = np.linalg.eigh(gf_isqrt @ gs @ gf_isqrt)
                 sqrt_m = vec @ np.diag(np.sqrt(np.maximum(w, 0))) @ vec.T
                 strain = sqrt_m - np.eye(2)
                 matches.append(ZurMatch(

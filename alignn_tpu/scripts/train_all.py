@@ -35,6 +35,8 @@ DATASET_TARGETS = {
                "exfoliation_energy"],
     "megnet": MEGNET_TARGETS,
     "qm9_std_jctc": QM9_TARGETS,
+    # electron/phonon DOS campaigns (reference scripts/train_edos_pdos.py)
+    "edos_pdos": ["edos_up", "pdos_elast"],
 }
 
 

@@ -354,3 +354,12 @@ def test_mdmin_relax(calc, nacl):
     f1 = float(np.sqrt(
         (calc.calculate(atoms)["forces"] ** 2).sum(axis=1)).max())
     assert f1 < max(0.02, 0.6 * f0)
+
+
+def test_run_md_rejects_unknown_ensemble(calc, nacl):
+    """A typo'd ensemble must raise, not silently run unthermostatted
+    NVE (round-2 review finding)."""
+    from alignn_tpu.ff.md import run_md
+
+    with pytest.raises(ValueError, match="unknown ensemble"):
+        run_md(calc, nacl, steps=1, ensemble="nvt")
