@@ -105,7 +105,13 @@ class _PyReader:
             (self.n,) = struct.unpack("<q", f.read(8))
             self.index = np.frombuffer(f.read(), dtype=np.int64).reshape(
                 self.n, 2)
-        self.data = np.memmap(path + ".data", dtype=np.uint8, mode="r")
+        # np.memmap refuses zero-byte files; an empty split (n_test=0)
+        # writes a valid empty cache that must still open
+        if self.n == 0 or os.path.getsize(path + ".data") == 0:
+            self.data = np.zeros(0, dtype=np.uint8)
+        else:
+            self.data = np.memmap(path + ".data", dtype=np.uint8,
+                                  mode="r")
 
     def get(self, i: int) -> bytes:
         off, ln = self.index[i]
@@ -164,7 +170,12 @@ class GraphCacheWriter:
     def put(self, g: GraphData):
         blob = pack_graph(g)
         if self._lib:
-            self._lib.rs_writer_put(self._h, blob, len(blob))
+            # a swallowed fwrite failure would silently skip a record
+            # and shift every later cache index off its id/target
+            if self._lib.rs_writer_put(self._h, blob, len(blob)) < 0:
+                raise IOError(
+                    f"record-store write failed at record {self.count} "
+                    f"(disk full?); cache is incomplete")
         else:
             self._py.put(blob)
         self.count += 1
@@ -172,8 +183,12 @@ class GraphCacheWriter:
     def close(self):
         if self._lib:
             if self._h:
-                self._lib.rs_writer_close(self._h)
+                rc = self._lib.rs_writer_close(self._h)
                 self._h = None
+                if rc != 0:
+                    raise IOError("record-store close failed "
+                                  "(index flush error); cache is "
+                                  "incomplete")
         else:
             self._py.close()
 

@@ -107,13 +107,24 @@ class BucketedLoader:
         if spec is None and len(dataset) > 0:
             if dense:
                 # dense-neighborhood layout (graph/dense.py): the bucket
-                # is (max nodes * batch, D = max in-degree); requires
-                # materialized graphs to measure D — pass an explicit
-                # dense BucketSpec for lazy datasets.
-                from alignn_tpu.graph.dense import dense_spec_for_graphs
+                # is (max nodes * batch, D = max in-degree).  Caches
+                # written with a 4-column counts meta (incl. per-graph
+                # max in-degree) size it WITHOUT deserializing records;
+                # otherwise fall back to a materializing pass.
+                from alignn_tpu.graph.dense import (
+                    dense_spec_for_graphs,
+                    dense_spec_from_counts,
+                )
 
-                spec = dense_spec_for_graphs(
-                    dataset.graphs, batch_size, slack=bucket_slack)
+                counts = dataset.metadata.get("counts")
+                c = np.asarray(counts) if counts is not None else None
+                if c is not None and c.ndim == 2 and c.shape[1] >= 4 \
+                        and c[:, 3].max() > 0:
+                    spec = dense_spec_from_counts(
+                        c[:, 0], c[:, 3], batch_size, slack=bucket_slack)
+                else:
+                    spec = dense_spec_for_graphs(
+                        dataset.graphs, batch_size, slack=bucket_slack)
             else:
                 counts = dataset.metadata.get("counts")
                 if counts is not None:
@@ -146,20 +157,39 @@ class BucketedLoader:
         else:
             order = np.arange(n)
         if self.num_hosts > 1:
+            # DistributedSampler parity: every host must see the SAME
+            # number of items or SPMD collectives desync mid-epoch —
+            # pad the permutation to a num_hosts multiple by cycling
+            # before taking the strided slice
+            pad = (-len(order)) % self.num_hosts
+            if pad:
+                order = np.concatenate([order, order[:pad]])
             order = order[self.host_id::self.num_hosts]
         return order
 
     def _make_batch(self, idxs) -> GraphBatch:
         graphs = [self.dataset.graphs[i] for i in idxs]
         if self.spec is not None and self.spec.dense_D:
-            from alignn_tpu.graph.dense import dense_batch_graphs
+            from alignn_tpu.graph.dense import (
+                AsymmetricEdgesError, dense_batch_graphs)
 
-            return dense_batch_graphs(
-                graphs, self.spec, atom_features=self.atom_features,
-                target_width=self.target_width,
-                atomwise_width=self.atomwise_width,
-                additional_width=self.additional_width,
-                extra_width=self.extra_width)
+            try:
+                return dense_batch_graphs(
+                    graphs, self.spec, atom_features=self.atom_features,
+                    target_width=self.target_width,
+                    atomwise_width=self.atomwise_width,
+                    additional_width=self.additional_width,
+                    extra_width=self.extra_width)
+            except AsymmetricEdgesError as exc:
+                # surface an actionable error instead of a cryptic crash
+                # from the prefetch thread (training cannot mix layouts
+                # batch-to-batch: the jitted step is layout-static)
+                raise AsymmetricEdgesError(
+                    f"{exc} — a structure in this dataset lacks the "
+                    f"reverse-edge involution (common for radius graphs "
+                    f"with bonds at the cutoff boundary); train with "
+                    f"dense_neighborhoods=false for this dataset"
+                ) from exc
         return batch_graphs(
             graphs, self.spec, atom_features=self.atom_features,
             target_width=self.target_width,
@@ -302,6 +332,10 @@ def get_train_val_loaders(
         records, target=target,
         classification_threshold=classification_threshold,
         target_multiplication_factor=target_multiplication_factor)
+    if target != "target":
+        # graph construction reads the canonical "target" key
+        # (dataset._build_one) — copy the selected property onto it
+        dat = [{**r, "target": r[target]} for r in dat]
     id_train, id_val, id_test = get_id_train_val_test(
         total_size=len(dat), split_seed=split_seed,
         train_ratio=train_ratio, val_ratio=val_ratio, test_ratio=test_ratio,
@@ -346,9 +380,25 @@ def get_train_val_loaders(
 
             build_kwargs = {k: v for k, v in graph_kwargs.items()
                             if k not in ("num_workers", "progress")}
+
+            def _label_digest(r) -> str:
+                # content hash of EVERY label baked into the cached
+                # graphs — regenerated forces/stresses with unchanged
+                # ids/energies must invalidate the cache
+                h = hashlib.sha256()
+                for key in ("target", "atomwise_target",
+                            "atomwise_grad", "stresses",
+                            "additional", "extra_features"):
+                    v = r.get(key)
+                    if v is None:
+                        h.update(b"-")
+                    else:
+                        h.update(np.ascontiguousarray(np.asarray(
+                            v, dtype=np.float64)).tobytes())
+                return h.hexdigest()
+
             fp_src = _json.dumps(
-                [build_kwargs, ids,
-                 [str(r.get(target)) for r in recs]],
+                [build_kwargs, ids, [_label_digest(r) for r in recs]],
                 sort_keys=True, default=str)
             fingerprint = hashlib.sha256(fp_src.encode()).hexdigest()
             path = os.path.join(cache_dir, f"graphs_{split}")
@@ -374,8 +424,13 @@ def get_train_val_loaders(
             with GraphCacheWriter(path) as w:
                 for g in records_to_graphs_iter(recs, **graph_kwargs):
                     w.put(g)
+                    # 4th column: max in-degree, so dense buckets size
+                    # from metadata (dense_spec_from_counts)
+                    indeg = int(np.bincount(
+                        g.dst, minlength=g.num_nodes).max()) \
+                        if g.num_edges else 0
                     counts.append([g.num_nodes, g.num_edges,
-                                   g.num_lg_edges])
+                                   g.num_lg_edges, indeg])
                     targets_meta.append(
                         np.atleast_1d(np.asarray(
                             g.target, dtype=np.float64)).tolist()

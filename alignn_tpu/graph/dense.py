@@ -93,6 +93,23 @@ def dense_spec_for_graphs(graphs: Sequence[GraphData], batch_size: int,
                       n_graphs=batch_size + 1, dense_D=D)
 
 
+def dense_spec_from_counts(node_counts, indeg_counts, batch_size: int,
+                           node_quantum: int = 128,
+                           slack: float = 1.0) -> BucketSpec:
+    """Dense bucket from cache metadata (no graph deserialization).
+
+    `indeg_counts`: per-graph max in-degree recorded at cache-write
+    time — lazy ALIGNN-FF-scale datasets size the dense bucket without
+    unpacking a single record.
+    """
+    D = int(np.max(indeg_counts))
+    max_n = int(np.max(node_counts))
+    n_pad = _round_up(int(max_n * batch_size * slack), node_quantum)
+    return BucketSpec(n_nodes=n_pad, n_edges=n_pad * D,
+                      n_lg_edges=n_pad * D * D,
+                      n_graphs=batch_size + 1, dense_D=D)
+
+
 def dense_spec_with_slack(g: GraphData, bucket_slack: float = 1.3,
                           degree_headroom: int = 2,
                           node_quantum: int = 128) -> BucketSpec:
@@ -130,8 +147,10 @@ def dense_batch_graphs(graphs: List[GraphData], spec: BucketSpec,
         builder); rows past the real total are padding (mask 0, graph
         slot -> trash graph);
       - edge row ``j*D + s``: the s-th real in-edge of node row ``j``
-        for ``s < occ[j]`` (in the dst-sorted order of the per-graph
-        build), a trash slot otherwise (mask 0, src -> 0, r -> (1,0,0));
+        for s below the node's real in-degree (in the dst-sorted order
+        of the per-graph build; consumers derive occupancy from
+        ``edge_mask``), a trash slot otherwise (mask 0, src -> 0,
+        r -> (1,0,0));
       - ``dst[row] = row // D`` for ALL rows (trash slots point at their
         block owner: masks, not routing, isolate them — unlike the
         sparse layout's trash-node convention);
@@ -171,7 +190,6 @@ def dense_batch_graphs(graphs: List[GraphData], spec: BucketSpec,
     images = np.zeros((e_pad, 3), dtype=dtype)
     edge_graph = np.full(e_pad, g_pad - 1, dtype=np.int32)
     edge_mask = np.zeros(e_pad, dtype=dtype)
-    occ = np.zeros(n_pad, dtype=np.int64)           # real in-edges per node
     rev = np.arange(e_pad, dtype=np.int32)          # trash slots -> self
 
     lattice = np.zeros((g_pad, 3, 3), dtype=dtype)
@@ -214,7 +232,6 @@ def dense_batch_graphs(graphs: List[GraphData], spec: BucketSpec,
             images[rows] = g.images
             edge_graph[rows] = gi
             edge_mask[rows] = 1.0
-            occ[ns] = deg
             # reverse-edge involution: match (src, dst, image) with
             # (dst, src, -image) via identical sort orders
             img = np.round(g.images).astype(np.int64)

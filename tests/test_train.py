@@ -219,3 +219,87 @@ def test_loader_host_sharding():
         assert len(ld) == 2
     assert not (seen[0] & seen[1])
     assert seen[0] | seen[1] == set(ds.ids)
+
+
+def test_loader_host_sharding_non_divisible():
+    """Hosts get EQUAL step counts when the dataset size is not a
+    num_hosts multiple (the permutation pads by cycling, as
+    DistributedSampler does) — unequal counts would desync SPMD
+    collectives mid-epoch."""
+    from alignn_tpu.data.dataset import GraphDataset, records_to_graphs
+    from alignn_tpu.data.loader import BucketedLoader
+
+    records = _property_records(9)
+    graphs = records_to_graphs(records)
+    ds = GraphDataset(graphs=graphs, ids=[r["jid"] for r in records])
+    lens, unions = [], set()
+    for host in range(2):
+        ld = BucketedLoader(ds, batch_size=2, shuffle=True, seed=5,
+                            host_id=host, num_hosts=2, drop_last=False)
+        ld.set_epoch(1)
+        ids = [i for b in ld.batch_ids() for i in b]
+        lens.append((len(ld), len(ids)))
+        unions |= set(ids)
+    assert lens[0] == lens[1]            # equal steps AND items
+    assert unions == set(ds.ids)         # still full coverage
+
+
+def test_get_train_val_loaders_custom_target_key(tmp_path):
+    """target=<non-default key> must reach the built graphs (round-2
+    review finding: it was silently dropped)."""
+    import numpy as np
+
+    from alignn_tpu.data.loader import get_train_val_loaders
+
+    records = _property_records(8)
+    for i, r in enumerate(records):
+        r["my_prop"] = 2.5 + i
+        r.pop("target", None)
+    train, val, test, mad = get_train_val_loaders(
+        records, target="my_prop", batch_size=2, n_train=4, n_val=2,
+        n_test=2, output_dir=str(tmp_path))
+    assert mad > 0.0
+    b = next(iter(train))
+    real = np.asarray(b.graph_mask) > 0
+    assert np.abs(np.asarray(b.target)[real]).max() >= 2.5
+
+
+def test_cache_label_fingerprint_invalidation(tmp_path):
+    """Regenerated force labels with identical ids/energies must
+    invalidate the cache (labels are baked into the packed graphs)."""
+    import numpy as np
+
+    from alignn_tpu.data.loader import get_train_val_loaders
+
+    rng = np.random.default_rng(4)
+    records = _property_records(6)
+    for r in records:
+        n_at = len(r["atoms"]["elements"])
+        r["atomwise_grad"] = rng.standard_normal((n_at, 3)).tolist()
+    kw = dict(batch_size=2, n_train=4, n_val=1, n_test=1,
+              cache_dir=str(tmp_path / "cache"),
+              atomwise_width=0, output_dir=str(tmp_path))
+    train1, *_ = get_train_val_loaders(records, **kw)
+    b1 = next(iter(train1))
+    # change ONLY the forces
+    for r in records:
+        r["atomwise_grad"] = (np.asarray(r["atomwise_grad"]) * 3.0).tolist()
+    train2, *_ = get_train_val_loaders(records, **kw)
+    b2 = next(iter(train2))
+    np.testing.assert_allclose(np.asarray(b2.forces),
+                               3.0 * np.asarray(b1.forces), rtol=1e-6)
+
+
+def test_empty_cache_split_roundtrip(tmp_path):
+    """A 0-record split writes a valid empty cache that reopens (the
+    pure-Python reader must not mmap the zero-byte data file)."""
+    from alignn_tpu.data.cache import GraphCache, GraphCacheWriter, _PyReader
+
+    path = str(tmp_path / "empty")
+    with GraphCacheWriter(path):
+        pass
+    assert GraphCache.exists(path)
+    c = GraphCache(path)
+    assert len(c) == 0
+    r = _PyReader(path)
+    assert r.n == 0
