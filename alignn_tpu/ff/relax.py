@@ -70,6 +70,20 @@ class _DofSystem:
         self.frac = cart @ np.linalg.inv(cell)
 
 
+def _final_state(sys, steps: int, trajectory, logger):
+    """Steps exhausted: evaluate, LOG, and return the final displaced
+    structure — the returned atoms/energy must match the trajectory's
+    last frame."""
+    energy, forces, a = sys.energy_and_forces()
+    fnorm = float(np.sqrt((forces ** 2).sum(axis=1).max()))
+    if logger is not None:
+        logger(steps, energy, fnorm)
+    if trajectory is not None:
+        trajectory.append({"energy": float(energy), "fmax": fnorm,
+                           "atoms": a.to_dict()})
+    return a, float(energy), steps
+
+
 def fire_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
                optimize_lattice: bool = False,
                scalar_pressure: float = 0.0,
@@ -100,28 +114,34 @@ def fire_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
                                "atoms": a.to_dict()})
         if fnorm < fmax:
             return a, float(energy), it
-        power = float((forces * v).sum())
-        if power > 0:
-            vnorm = np.linalg.norm(v)
-            fn = max(np.linalg.norm(forces), 1e-12)
-            v = (1 - alpha) * v + alpha * forces * (vnorm / fn)
-            n_pos += 1
-            if n_pos > p.nmin:
-                dt = min(dt * p.finc, p.dtmax)
-                alpha *= p.fa
-        else:
-            v[:] = 0.0
-            dt *= p.fdec
-            alpha = p.astart
-            n_pos = 0
+        # ASE FIRE ordering: the power/adjustment block is SKIPPED on
+        # the first step (v is None there — v=0 would otherwise take
+        # the downhill branch and halve dt before any motion), and the
+        # Nsteps>Nmin check precedes the increment
+        if it > 0:
+            power = float((forces * v).sum())
+            if power > 0:
+                vnorm = np.linalg.norm(v)
+                fn = max(np.linalg.norm(forces), 1e-12)
+                v = (1 - alpha) * v + alpha * forces * (vnorm / fn)
+                if n_pos > p.nmin:
+                    dt = min(dt * p.finc, p.dtmax)
+                    alpha *= p.fa
+                n_pos += 1
+            else:
+                v[:] = 0.0
+                dt *= p.fdec
+                alpha = p.astart
+                n_pos = 0
         v = v + dt * forces
         dr = dt * v
-        maxd = np.sqrt((dr ** 2).sum(axis=1).max())
-        if maxd > p.maxstep:
-            dr = dr * (p.maxstep / maxd)
+        # ASE clips by the GLOBAL |dr| norm, not the largest per-atom
+        # step
+        normdr = float(np.sqrt((dr ** 2).sum()))
+        if normdr > p.maxstep:
+            dr = dr * (p.maxstep / normdr)
         sys.displace(dr)
-    energy, _forces, a = sys.energy_and_forces()
-    return a, float(energy), steps
+    return _final_state(sys, steps, trajectory, logger)
 
 
 def lbfgs_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
@@ -191,8 +211,7 @@ def lbfgs_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
         sys.displace(dr)
         prev_g = g
         prev_dr = dr
-    energy, _forces, a = sys.energy_and_forces()
-    return a, float(energy), steps
+    return _final_state(sys, steps, trajectory, logger)
 
 
 def mdmin_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
@@ -217,20 +236,23 @@ def mdmin_relax(calc, atoms: Atoms, fmax: float = 0.05, steps: int = 200,
                                "atoms": a.to_dict()})
         if fnorm < fmax:
             return a, float(energy), it
-        v = v + dt * forces
-        power = float((v * forces).sum())
-        if power > 0:
-            # project velocity onto the force direction (ASE MDMin)
-            v = forces * power / max(float((forces ** 2).sum()), 1e-12)
-        else:
-            v[:] = 0.0
+        # ASE MDMin splitting: half-kick, project/zero, half-kick (the
+        # projection test is SKIPPED on the first step where v is None)
+        if it > 0:
+            v = v + 0.5 * dt * forces
+            power = float((v * forces).sum())
+            if power > 0:
+                v = forces * power / max(float((forces ** 2).sum()),
+                                         1e-12)
+            else:
+                v[:] = 0.0
+        v = v + 0.5 * dt * forces
         dr = dt * v
         maxd = float(np.sqrt((dr ** 2).sum(axis=1).max()))
         if maxd > maxstep:
             dr = dr * (maxstep / max(maxd, 1e-12))
         sys.displace(dr)
-    energy, _forces, a = sys.energy_and_forces()
-    return a, float(energy), steps
+    return _final_state(sys, steps, trajectory, logger)
 
 
 OPTIMIZERS = {"fire": fire_relax, "lbfgs": lbfgs_relax,

@@ -142,11 +142,11 @@ def all_neighbors(atoms: Atoms, cutoff: float):
     u, v, images, _disp, dist = _tiled_pairs(atoms, cutoff)
     order = np.argsort(u, kind="stable")
     u, v, images, dist = u[order], v[order], images[order], dist[order]
-    out = []
-    for site in range(atoms.num_atoms):
-        m = u == site
-        out.append((v[m], dist[m], images[m]))
-    return out
+    # u is sorted: per-site slices via searchsorted (a boolean mask per
+    # site would rescan all P pairs N times on large supercells)
+    bounds = np.searchsorted(u, np.arange(atoms.num_atoms + 1))
+    return [(v[lo:hi], dist[lo:hi], images[lo:hi])
+            for lo, hi in zip(bounds[:-1], bounds[1:])]
 
 
 # ---------------------------------------------------------------------------

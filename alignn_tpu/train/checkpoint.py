@@ -64,8 +64,14 @@ def save_train_state(path: str, state, epoch: int,
         f.write(serialization.msgpack_serialize(payload, in_place=True))
 
 
-def load_train_state(path: str, state) -> Tuple[Any, int]:
-    """Restore a full-state checkpoint into a template `state`."""
+def load_train_state(path: str, state,
+                     with_extra: bool = False):
+    """Restore a full-state checkpoint into a template `state`.
+
+    Returns (state, epoch), or (state, epoch, extra) with
+    `with_extra=True` — the dict save_train_state persisted (it was
+    previously written but unreachable).
+    """
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     params = serialization.from_state_dict(state.params, payload["params"])
@@ -76,6 +82,9 @@ def load_train_state(path: str, state) -> Tuple[Any, int]:
     new_state = state.replace(
         params=params, batch_stats=batch_stats, opt_state=opt_state,
         step=jnp.asarray(payload["step"], jnp.int32))
+    if with_extra:
+        return new_state, int(payload.get("epoch", 0)), \
+            payload.get("extra", {})
     return new_state, int(payload.get("epoch", 0))
 
 
@@ -173,14 +182,22 @@ def _convert_entries(sd: Dict[str, np.ndarray], layout: str = "nested"):
                        parts[2:], arr)
         elif head in ("fc", "fc1", "fc2", "fc3", "fc_atomwise",
                       "fc_additional_output"):
-            p = parts[2] if len(parts) >= 3 and parts[1].isdigit() \
-                else parts[1]
-            if p == "weight":
-                out = (head, "kernel"), "params", arr.T
-            elif p == "bias":
-                # the reference's log-link init overwrites fc.bias with a
-                # 0-d tensor (alignn.py:276-278) — restore the [1] shape
-                out = (head, "bias"), "params", np.atleast_1d(arr)
+            if len(parts) >= 3 and parts[1] == "layer":
+                # extra-features path: reference fc1/fc2 are MLPLayers
+                # (alignn.py:260-267, keys fc1.layer.0.weight etc.) —
+                # route through the MLP mapping or their Linear+Norm
+                # weights silently keep random init
+                out = mlp((head,), parts[1:], arr)
+            else:
+                p = parts[2] if len(parts) >= 3 and parts[1].isdigit() \
+                    else parts[1]
+                if p == "weight":
+                    out = (head, "kernel"), "params", arr.T
+                elif p == "bias":
+                    # the reference's log-link init overwrites fc.bias
+                    # with a 0-d tensor (alignn.py:276-278) — restore
+                    # the [1] shape
+                    out = (head, "bias"), "params", np.atleast_1d(arr)
         if out is not None:
             yield out
         # unknown entries are skipped (e.g. link params absent here)
@@ -226,7 +243,10 @@ def merge_converted(template_params, converted_params):
     for k in t:
         if k in c:
             if tuple(np.shape(c[k])) == tuple(np.shape(t[k])):
-                t[k] = np.asarray(c[k], dtype=np.asarray(t[k]).dtype)
+                # .dtype is metadata — np.asarray(t[k]) would device_get
+                # EVERY template leaf through the remote tunnel
+                t[k] = np.asarray(c[k], dtype=getattr(
+                    t[k], "dtype", np.float32))
             else:
                 mismatched.append("/".join(k))
         else:

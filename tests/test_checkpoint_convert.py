@@ -114,3 +114,38 @@ def test_convert_reference_state_dict(tmp_path):
     out = model.apply({"params": merged, "batch_stats": merged_bs},
                       batch, train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_extra_features_fc_mlp(tmp_path):
+    """Reference extra-features checkpoints declare fc1/fc2 as MLPLayers
+    (alignn.py:260-267) — their Linear+Norm weights must convert, not
+    silently keep random init (round-2 review finding)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from alignn_tpu.train.checkpoint import convert_torch_checkpoint
+
+    class MLPLayer(nn.Module):
+        def __init__(self, fin, fout):
+            super().__init__()
+            self.layer = nn.Sequential(
+                nn.Linear(fin, fout), nn.BatchNorm1d(fout), nn.SiLU())
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = MLPLayer(8, 8)
+            self.fc2 = MLPLayer(8, 8)
+            self.fc3 = nn.Linear(8, 1)
+
+    net = Net()
+    path = str(tmp_path / "m.pt")
+    torch.save(net.state_dict(), path)
+    params, stats = convert_torch_checkpoint(path)
+    assert np.asarray(params["fc1"]["linear"]["kernel"]).shape == (8, 8)
+    np.testing.assert_allclose(
+        np.asarray(params["fc1"]["linear"]["kernel"]),
+        net.fc1.layer[0].weight.detach().numpy().T)
+    assert "norm" in params["fc2"]
+    assert "mean" in stats["fc2"]["norm"]
+    assert np.asarray(params["fc3"]["kernel"]).shape == (8, 1)
