@@ -447,16 +447,20 @@ def _bwd(num_nodes, use_pallas, window, res, g):
     m, bh, dst, h = res
     f = m.shape[-1]
     sigma = jax.nn.sigmoid(m)
-    den = sorted_segment_sum(sigma, dst, num_nodes, use_pallas,
-                             window) + EPS
-    ginv = g / den                       # [N, F]
+    # den must be segment-summed in f32: the FORWARD kernel divided by
+    # its f32 accumulator, and a bf16-rounded den here (up to ~0.4% off
+    # for high-degree nodes) would make every edge gradient the
+    # gradient of a slightly different function
+    den = sorted_segment_sum(sigma.astype(jnp.float32), dst, num_nodes,
+                             use_pallas, window) + EPS
+    ginv = g / den                       # [N, F] f32
     gh = -g * h / den                    # [N, F] dL/dden
     packed = sorted_gather(jnp.concatenate([ginv, gh], axis=-1), dst,
                            num_nodes, use_pallas, window)
     ginv_e, gh_e = packed[:, :f], packed[:, f:]
-    dbh = sigma * ginv_e
+    dbh = (sigma * ginv_e).astype(bh.dtype)
     dsigma = bh * ginv_e + gh_e
-    dm = sigma * (1 - sigma) * dsigma
+    dm = (sigma * (1 - sigma) * dsigma).astype(m.dtype)
     return dm, dbh, None
 
 

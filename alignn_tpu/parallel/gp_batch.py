@@ -63,6 +63,20 @@ def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
+def _ring_step_needs(batch: GraphBatch, n_shards: int) -> tuple:
+    """Per-step group-size maxima WITHOUT building the ring placement
+    (the cheap first pass of make_stacked_ring — no lexsort needed)."""
+    d = n_shards
+    e_loc = batch.src.shape[0] // d
+    real = np.asarray(batch.lg_mask) > 0.5
+    e1 = np.asarray(batch.lg_src)[real].astype(np.int64)
+    e2 = np.asarray(batch.lg_dst)[real].astype(np.int64)
+    step_of = ((e2 // e_loc) - (e1 // e_loc)) % d
+    sizes = np.bincount((e2 // e_loc) * d + step_of,
+                        minlength=d * d).reshape(d, d)
+    return tuple(max(int(sizes[:, k].max()), 1) for k in range(d))
+
+
 def make_ring_index(batch: GraphBatch, n_shards: int,
                     quantum: int = 128,
                     steps: tuple | None = None) -> RingIndex:
@@ -141,13 +155,16 @@ def make_stacked_ring(stacked: GraphBatch, n_shards: int,
     n_rows = int(np.asarray(stacked.src).shape[0])
     rows = [jax.tree.map(lambda x, i=i: np.asarray(x)[i], stacked)
             for i in range(n_rows)]
-    rings = [make_ring_index(row, n_shards, quantum) for row in rows]
-    steps = tuple(max(r.steps[k] for r in rings) for k in range(n_shards))
+    # pass 1 measures sizes only (no lexsort/placement); each ring is
+    # then BUILT once with the final forced steps — under the monotone
+    # min_steps floor nearly every row would otherwise be built twice
+    needs = [_ring_step_needs(row, n_shards) for row in rows]
+    steps = tuple(_round_up(max(n[k] for n in needs), quantum)
+                  for k in range(n_shards))
     if min_steps is not None:
         steps = tuple(max(a, b) for a, b in zip(steps, min_steps))
-    rings = [r if r.steps == steps else
-             make_ring_index(row, n_shards, quantum, steps=steps)
-             for r, row in zip(rings, rows)]
+    rings = [make_ring_index(row, n_shards, quantum, steps=steps)
+             for row in rows]
     return RingIndex(
         lg_src=np.stack([r.lg_src for r in rings]),
         lg_dst=np.stack([r.lg_dst for r in rings]),
