@@ -134,13 +134,22 @@ def train_for_folder(
             make_train_step
         from alignn_tpu.train.trainer import build_model
 
+        import jax
+
         model = build_model(config.model)
         batch = next(iter(tr))
+        if tr.num_shards > 1:
+            # the sharded loader yields [D, ...]-stacked arrays; profile
+            # the single-device step on shard 0 (trainer.py does the
+            # same unstack for init)
+            batch = jax.tree.map(lambda x: x[0], batch)
         tx = build_optimizer(config.optimizer, config.learning_rate,
                              config.weight_decay)
         state = create_train_state(model, batch, tx)
-        step = make_train_step(model, criterion=config.criterion,
-                               donate=False)
+        step = make_train_step(
+            model, criterion=config.criterion, donate=False,
+            classification=bool(config.classification_threshold
+                                is not None))
         edges = (tr.spec.n_edges + tr.spec.n_lg_edges) if tr.spec else None
         result = profile_step(step, state, batch, logdir=profile,
                               edges_per_batch=edges)

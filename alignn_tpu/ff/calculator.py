@@ -56,12 +56,19 @@ class Calculator:
                  intensive: bool = True, force_multiplier: float = 1.0,
                  force_mult_natoms: bool = False, stress_wt: float = 1.0,
                  bucket_slack: float = 1.3, skin: float = 0.3,
-                 dense: Optional[bool] = None):
+                 dense: Optional[bool] = None,
+                 force_mult_batchsize: bool = False):
         if model is None:
             from alignn_tpu.zoo import load_model_dir
 
             if path is None:
-                raise ValueError("pass a model directory `path` or a model")
+                # reference parity: AlignnAtomwiseCalculator() with no
+                # path uses the default FF model (ff/calculators.py:209)
+                path = default_path()
+                if path is None:
+                    raise ValueError(
+                        "pass a model directory `path` or a model (the "
+                        "default FF model needs network to download)")
             model, variables, config = load_model_dir(path)
         self.model = model
         self.variables = variables
@@ -69,6 +76,13 @@ class Calculator:
         self.intensive = intensive
         self.force_multiplier = force_multiplier
         self.force_mult_natoms = force_mult_natoms
+        # DOCUMENTED DEVIATION: the reference ASE calculator multiplies
+        # forces by the TRAINING batch size by default
+        # (ff/calculators.py:191,364-365 force_mult_batchsize=True) — a
+        # training-scale artifact, not physics.  This calculator
+        # defaults to physical forces; set force_mult_batchsize=True to
+        # reproduce reference trajectories with converted checkpoints.
+        self.force_mult_batchsize = force_mult_batchsize
         self.stress_wt = stress_wt
         self.bucket_slack = bucket_slack
         self._spec: Optional[BucketSpec] = None
@@ -96,6 +110,23 @@ class Calculator:
         self.dense = bool(dense)
         self._dense_warned = False
 
+        # reference parity (ff/calculators.py:219-224): checkpoints
+        # trained with stresswise_weight=0 would return all-zero stress
+        # (silently freezing cell relaxations / NPT); the reference
+        # patches the weight to 0.1 before building — stress comes from
+        # the same force gradient, so no parameters are affected
+        import dataclasses as _dc
+
+        cfg_m = getattr(self.model, "cfg", None)
+        if cfg_m is not None and \
+                getattr(cfg_m, "stresswise_weight", 1.0) == 0 and \
+                getattr(cfg_m, "calculate_gradient", True):
+            self.model = type(self.model)(
+                cfg=_dc.replace(cfg_m, stresswise_weight=0.1),
+                **{f.name: getattr(self.model, f.name)
+                   for f in _dc.fields(type(self.model))
+                   if f.name != "cfg" and not f.name.startswith("_")})
+
         self.neighbor_strategy = self.config.get(
             "neighbor_strategy", "radius_graph")
         self.cutoff = float(self.config.get("cutoff", 8.0))
@@ -118,14 +149,33 @@ class Calculator:
                 res = ealignn_forward(model, variables, batch, train=False)
                 return res["out"], res["grad"], res["stresses"]
             return fn
-        if not isinstance(model, ALIGNNAtomWise) and not hasattr(
-                model, "cfg"):
-            raise TypeError("Calculator requires an atomwise model")
+        cfg_name = getattr(getattr(model, "cfg", None), "name", "")
+        if not isinstance(model, ALIGNNAtomWise) and \
+                "atomwise" not in str(cfg_name):
+            # the ALIGNN property model also has .cfg but takes no bond
+            # vectors — reject it here instead of a cryptic trace error
+            raise TypeError("Calculator requires an atomwise model, "
+                            f"got {type(model).__name__} ({cfg_name})")
 
         @jax.jit
         def fn(batch: GraphBatch):
             res = atomwise_forward(model, variables, batch, train=False)
             return res["out"], res["grad"], res["stresses"]
+
+        return fn
+
+    def _make_prop_fn(self):
+        """Jitted (batch) -> (atomwise_pred, additional) for iCalculator."""
+        import jax
+
+        from alignn_tpu.nn.models import atomwise_forward
+
+        model, variables = self.model, self.variables
+
+        @jax.jit
+        def fn(batch: GraphBatch):
+            res = atomwise_forward(model, variables, batch, train=False)
+            return res["atomwise_pred"], res["additional"]
 
         return fn
 
@@ -245,7 +295,7 @@ class Calculator:
                                                  fallback=True)
 
             try:
-                return self._dense_batch_and_fn(g, make_fn)
+                return self._dense_batch_and_fn(g, make_fn, indeg=D)
             except AsymmetricEdgesError as exc:
                 # expected per-STRUCTURE condition (e.g. a radius-graph
                 # bond within a float ulp of the cutoff breaks the
@@ -283,13 +333,15 @@ class Calculator:
                              gather_windows=False)
         return batch, getattr(self, fn_attr)
 
-    def _dense_batch_and_fn(self, g, make_fn):
+    def _dense_batch_and_fn(self, g, make_fn, indeg=None):
         from alignn_tpu.graph.dense import (
             dense_batch_graphs, dense_spec_with_slack, max_in_degree)
 
+        if indeg is None:
+            indeg = max_in_degree([g])
         if (self._spec is None or not getattr(self._spec, "dense_D", 0)
                 or g.num_nodes >= self._spec.n_nodes
-                or max_in_degree([g]) > self._spec.dense_D):
+                or indeg > self._spec.dense_D):
             self._spec = dense_spec_with_slack(
                 g, bucket_slack=self.bucket_slack)
             self._fn = None
@@ -314,6 +366,9 @@ class Calculator:
         forces = np.asarray(grad)[:n] * self.force_multiplier
         if self.force_mult_natoms:
             forces = forces * n
+        if self.force_mult_batchsize:
+            # reference ff/calculators.py:364-365 (see __init__ note)
+            forces = forces * int(self.config.get("batch_size", 1))
         stress_3x3 = np.asarray(stress)[0]
         stress_voigt = full_3x3_to_voigt_6_stress(
             stress_3x3) * self.stress_wt / EV_A3_TO_GPA
@@ -424,21 +479,3 @@ class iCalculator(Calculator):
         self._results = results
         return results
 
-
-def _make_prop_fn_impl(self):
-    """Jitted (batch) -> (atomwise_pred, additional) for iCalculator."""
-    import jax
-
-    from alignn_tpu.nn.models import ALIGNNAtomWise, atomwise_forward
-
-    model, variables = self.model, self.variables
-
-    @jax.jit
-    def fn(batch: GraphBatch):
-        res = atomwise_forward(model, variables, batch, train=False)
-        return res["atomwise_pred"], res["additional"]
-
-    return fn
-
-
-Calculator._make_prop_fn = _make_prop_fn_impl

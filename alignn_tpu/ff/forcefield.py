@@ -123,6 +123,12 @@ class ForceField:
             cutoff=self.calc.cutoff,
             max_neighbors=self.calc.max_neighbors,
             neighbor_strategy=self.calc.neighbor_strategy,
+            # inherit the calculator's featurization + layout — a model
+            # trained on non-cgcnn features would otherwise get wrong
+            # (or wrong-width) node features here
+            atom_features=kw.pop("atom_features",
+                                 self.calc.atom_features),
+            dense=kw.pop("dense", self.calc.dense),
             chunk_steps=chunk_steps, **kw)
         for row in log.rows:
             self._log(json.dumps({"ensemble": f"{ensemble}_jit", **row}))

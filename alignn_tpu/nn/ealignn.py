@@ -193,15 +193,9 @@ class eALIGNNAtomWise(nn.Module):
         h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
 
         if cfg.extra_features != 0:
-            feats = MLPLayer(cfg.extra_features,
-                             name="extra_feature_embedding", **kw)(
-                batch.extra_features, mask=batch.graph_mask, train=train)
-            hh = jnp.concatenate([h, feats], axis=1)
-            hh = MLPLayer(hh.shape[-1], name="fc1", **kw)(
-                hh, mask=batch.graph_mask, train=train)
-            hh = MLPLayer(hh.shape[-1], name="fc2", **kw)(
-                hh, mask=batch.graph_mask, train=train)
-            out = Dense(cfg.output_features, name="fc3")(hh)
+            from alignn_tpu.nn.models import extra_features_head
+
+            out = extra_features_head(h, batch, cfg, kw, train)
         else:
             out = Dense(cfg.output_features, name="fc",
                         bias_init_value=_link_init_bias(cfg.link))(h)

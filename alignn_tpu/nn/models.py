@@ -262,19 +262,9 @@ class ALIGNN(nn.Module):
         h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
 
         if cfg.extra_features != 0:
-            # Gong et al. extra-features path (reference alignn.py:250-267,
-            # 328-339).  Extra features are constant per graph, so the
-            # node-level AvgPooling of the reference reduces to the
-            # graph-level value.
-            feats = MLPLayer(cfg.extra_features,
-                             name="extra_feature_embedding", **kw)(
-                batch.extra_features, mask=batch.graph_mask, train=train)
-            h = jnp.concatenate([h, feats], axis=1)
-            h = MLPLayer(h.shape[-1], name="fc1", **kw)(
-                h, mask=batch.graph_mask, train=train)
-            h = MLPLayer(h.shape[-1], name="fc2", **kw)(
-                h, mask=batch.graph_mask, train=train)
-            out = Dense(cfg.output_features, name="fc3")(h)
+            # extra features are constant per graph, so the node-level
+            # AvgPooling of the reference reduces to the graph value
+            out = extra_features_head(h, batch, cfg, kw, train)
         elif cfg.classification:
             out = Dense(cfg.num_classes, name="fc")(h)
         else:
@@ -335,6 +325,22 @@ class ALIGNNAtomWise(nn.Module):
                               batch.edge_mask, None, train)
 
 
+def extra_features_head(h, batch, cfg, kw, train):
+    """Gong et al. extra-features head (reference alignn.py:250-267,
+    alignn_atomwise.py:326-334): per-graph features embed, concat with
+    the readout, two MLPs, linear out.  Shared by ALIGNN /
+    atomwise_heads / eALIGNN so the fc1/fc2/fc3 stack exists once."""
+    feats = MLPLayer(cfg.extra_features,
+                     name="extra_feature_embedding", **kw)(
+        batch.extra_features, mask=batch.graph_mask, train=train)
+    hh = jnp.concatenate([h, feats], axis=1)
+    hh = MLPLayer(hh.shape[-1], name="fc1", **kw)(
+        hh, mask=batch.graph_mask, train=train)
+    hh = MLPLayer(hh.shape[-1], name="fc2", **kw)(
+        hh, mask=batch.graph_mask, train=train)
+    return Dense(cfg.output_features, name="fc3")(hh)
+
+
 def atomwise_heads(cfg: ALIGNNAtomWiseConfig, kw: Dict[str, Any],
                    batch: GraphBatch, x, bondlength, edge_mask,
                    edge_axis: Optional[str], train: bool):
@@ -350,15 +356,7 @@ def atomwise_heads(cfg: ALIGNNAtomWiseConfig, kw: Dict[str, Any],
     h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
 
     if cfg.extra_features != 0:
-        feats = MLPLayer(cfg.extra_features,
-                         name="extra_feature_embedding", **kw)(
-            batch.extra_features, mask=batch.graph_mask, train=train)
-        hh = jnp.concatenate([h, feats], axis=1)
-        hh = MLPLayer(hh.shape[-1], name="fc1", **kw)(
-            hh, mask=batch.graph_mask, train=train)
-        hh = MLPLayer(hh.shape[-1], name="fc2", **kw)(
-            hh, mask=batch.graph_mask, train=train)
-        out = Dense(cfg.output_features, name="fc3")(hh)
+        out = extra_features_head(h, batch, cfg, kw, train)
     elif cfg.classification:
         out = Dense(1, name="fc")(h)
     else:
@@ -504,8 +502,16 @@ def atomwise_forward(model: ALIGNNAtomWise, variables, batch: GraphBatch,
         outer = jnp.einsum("ei,ej->eij", batch.r, pair_forces)
         per_graph = segment_sum(outer, batch.edge_graph,
                                 batch.graph_mask.shape[0])
-        stress = (-cfg.stress_multiplier * EV_A3_TO_GPA
-                  * per_graph / jnp.maximum(batch.volume, 1e-12)[:, None, None])
+        # batch_stress=True (default): per-graph virial / V
+        # (reference alignn_atomwise.py:591-607).  batch_stress=False:
+        # the reference computes ONE r^T @ pair_forces / (2 V[0]) for
+        # the whole batch (:573-583, meaningful at batch size 1) —
+        # reproduced here per graph with the same /(2V) convention,
+        # identical for the single-graph calculator path.
+        div = 2.0 if not getattr(cfg, "batch_stress", True) else 1.0
+        stress = (-cfg.stress_multiplier * EV_A3_TO_GPA * per_graph
+                  / (div * jnp.maximum(batch.volume,
+                                       1e-12)[:, None, None]))
         res["stresses"] = stress
     else:
         res["stresses"] = jnp.zeros_like(batch.stress)

@@ -241,11 +241,24 @@ def train_model(
     def _per_sample_results(loader):
         results = []
         ids = loader.batch_ids()
+        want_grad = is_atomwise and getattr(
+            config.model, "calculate_gradient", False)
+        want_stress = is_atomwise and getattr(
+            config.model, "stresswise_weight", 0) != 0
         for bi, batch in enumerate(loader):
             _losses, res = eval_step(state, batch)
+            # ONE device fetch per batch, never per graph slot
+            # (CLAUDE.md: batch device_get calls)
             out = _np(res["out"])
             gm = _np(batch.graph_mask)
             tg = _np(batch.target)
+            if is_atomwise:
+                nm = _np(batch.node_mask) > 0.5
+                ng = _np(batch.node_graph)
+            grad_np = _np(res["grad"]) if want_grad else None
+            tgrad_np = _np(batch.forces) if want_grad else None
+            stress_np = _np(res["stresses"]) if want_stress else None
+            tstress_np = _np(batch.stress) if want_stress else None
             for gi in range(out.shape[0]):
                 if gm[gi] < 0.5 or bi >= len(ids) or gi >= len(ids[bi]):
                     continue
@@ -253,19 +266,13 @@ def train_model(
                         "target": np.atleast_1d(tg[gi]).tolist(),
                         "predictions": np.atleast_1d(out[gi]).tolist()}
                 if is_atomwise:
-                    nm = _np(batch.node_mask) > 0.5
-                    ng = _np(batch.node_graph)
                     sel = nm & (ng == gi)
-                    if getattr(config.model, "calculate_gradient",
-                               False):
-                        info["target_grad"] = _np(
-                            batch.forces)[sel].tolist()
-                        info["pred_grad"] = _np(res["grad"])[sel].tolist()
-                    if getattr(config.model, "stresswise_weight", 0) != 0:
-                        info["target_stress"] = _np(
-                            batch.stress)[gi].tolist()
-                        info["pred_stress"] = _np(
-                            res["stresses"])[gi].tolist()
+                    if want_grad:
+                        info["target_grad"] = tgrad_np[sel].tolist()
+                        info["pred_grad"] = grad_np[sel].tolist()
+                    if want_stress:
+                        info["target_stress"] = tstress_np[gi].tolist()
+                        info["pred_stress"] = stress_np[gi].tolist()
                 results.append(info)
         return results
 
@@ -301,31 +308,40 @@ def train_model(
         test_results = []
         preds, targets = [], []
         ids_per_batch = test_loader.batch_ids()
+        want_grad = is_atomwise and getattr(
+            config.model, "calculate_gradient", False)
+        want_stress = is_atomwise and getattr(
+            config.model, "stresswise_weight", 0) != 0
         for bi, batch in enumerate(test_loader):
             losses, res = eval_step(state, batch)
+            # ONE device fetch per batch (CLAUDE.md batched-fetch rule)
             out = _np(res["out"])
             gm = _np(batch.graph_mask)
+            tgt = _np(batch.target)
+            if is_atomwise:
+                nm = _np(batch.node_mask) > 0.5
+                ng = _np(batch.node_graph)
+            grad_np = _np(res["grad"]) if want_grad else None
+            tgrad_np = _np(batch.forces) if want_grad else None
+            stress_np = _np(res["stresses"]) if want_stress else None
+            tstress_np = _np(batch.stress) if want_stress else None
             for gi in range(out.shape[0]):
                 if gm[gi] < 0.5:
                     continue
                 sid = ids_per_batch[bi][gi] if gi < len(ids_per_batch[bi]) \
                     else f"batch{bi}_{gi}"
-                t = _np(batch.target)[gi]
+                t = tgt[gi]
                 info = {"id": sid,
                         "target": np.atleast_1d(t).tolist(),
                         "predictions": np.atleast_1d(out[gi]).tolist()}
                 if is_atomwise:
-                    nm = _np(batch.node_mask) > 0.5
-                    ng = _np(batch.node_graph)
                     sel = nm & (ng == gi)
-                    if getattr(config.model, "calculate_gradient", False):
-                        info["target_grad"] = _np(
-                            batch.forces)[sel].tolist()
-                        info["pred_grad"] = _np(res["grad"])[sel].tolist()
-                    if getattr(config.model, "stresswise_weight", 0) != 0:
-                        info["target_stress"] = _np(batch.stress)[gi].tolist()
-                        info["pred_stress"] = _np(
-                            res["stresses"])[gi].tolist()
+                    if want_grad:
+                        info["target_grad"] = tgrad_np[sel].tolist()
+                        info["pred_grad"] = grad_np[sel].tolist()
+                    if want_stress:
+                        info["target_stress"] = tstress_np[gi].tolist()
+                        info["pred_stress"] = stress_np[gi].tolist()
                 test_results.append(info)
                 preds.append(np.atleast_1d(out[gi]))
                 targets.append(np.atleast_1d(t))

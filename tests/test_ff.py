@@ -363,3 +363,49 @@ def test_run_md_rejects_unknown_ensemble(calc, nacl):
 
     with pytest.raises(ValueError, match="unknown ensemble"):
         run_md(calc, nacl, steps=1, ensemble="nvt")
+
+
+def test_calculator_patches_zero_stresswise(calc, nacl):
+    """A checkpoint trained with stresswise_weight=0 must still return
+    stress (reference ff/calculators.py:219-224 patches it to 0.1) —
+    cell relaxations / NPT would otherwise silently freeze."""
+    import dataclasses
+
+    from alignn_tpu.nn.models import ALIGNNAtomWise
+
+    model0 = ALIGNNAtomWise(
+        cfg=dataclasses.replace(calc.model.cfg, stresswise_weight=0.0))
+    c = Calculator(model=model0, variables=calc.variables,
+                   config=dict(calc.config))
+    assert c.model.cfg.stresswise_weight == 0.1
+    res = c.calculate(nacl)
+    assert np.abs(res["stress"]).max() > 0
+
+
+def test_calculator_force_mult_batchsize(calc, nacl):
+    """Reference knob (ff/calculators.py:364-365): forces x training
+    batch size.  Our default is OFF (physical forces) — documented
+    deviation at the implementation site."""
+    base = calc.calculate(nacl)["forces"]
+    c = Calculator(model=calc.model, variables=calc.variables,
+                   force_mult_batchsize=True,
+                   config={**calc.config, "batch_size": 8})
+    np.testing.assert_allclose(c.calculate(nacl)["forces"], base * 8,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_calculator_rejects_property_model(calc, nacl):
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.nn.models import ALIGNN, ALIGNNConfig
+    import jax
+
+    pm = ALIGNN(cfg=ALIGNNConfig(name="alignn", alignn_layers=1,
+                                 gcn_layers=1, hidden_features=16,
+                                 embedding_features=8))
+    g = build_graph(nacl, cutoff=5.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    pv = pm.init(jax.random.PRNGKey(0), batch, train=False)
+    c = Calculator(model=pm, variables=pv, config={"cutoff": 5.0})
+    with pytest.raises(TypeError, match="atomwise"):
+        c.calculate(nacl)
