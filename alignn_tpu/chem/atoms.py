@@ -382,6 +382,9 @@ class Atoms:
                             break
                         sym = "".join(c for c in parts[sym_col]
                                       if c.isalpha())[:2]
+                        # legacy all-uppercase labels ("CA1", "FE1")
+                        # would otherwise map Ca->C, Fe->F
+                        sym = sym.capitalize()
                         if sym not in Z_FROM_SYMBOL:
                             sym = sym[:1]
                         elements.append(sym)

@@ -106,8 +106,20 @@ def _cfid_row(z: int) -> tuple:
 
 
 def get_node_attributes(symbol: str, atom_features: str = "cgcnn") -> list:
-    """Per-element feature vector, mirroring jarvis get_node_attributes."""
+    """Per-element feature vector, mirroring jarvis get_node_attributes.
+
+    Consults the same exact-parity override tables as
+    :func:`attribute_lookup_table`, so both public featurization entry
+    points always agree.
+    """
+    import os
+
     z = pt.atomic_number(symbol)
+    path = os.path.join(tables_dir(), f"{atom_features}.json")
+    if atom_features in FEATURESET_SIZE:
+        override = _override_table(atom_features, path)
+        if override is not None:
+            return list(override[z])
     if atom_features == "atomic_number":
         return [float(z)]
     if atom_features == "basic":
@@ -133,7 +145,6 @@ def tables_dir() -> str:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tables"))
 
 
-@functools.lru_cache(maxsize=None)
 def _override_table(atom_features: str, path: str):
     """Optional drop-in replacement table for exact jarvis parity.
 
@@ -141,7 +152,19 @@ def _override_table(atom_features: str, path: str):
     {"Si": [..F floats..], ...} or {"14": [...]}), it wins over the
     built-in featurization — the path to byte-exact parity with
     checkpoints trained on jarvis's tables, without code changes.
+    Missing files are NOT cached (a table vendored later in the same
+    process is picked up); loaded tables cache on (path, mtime).
     """
+    import os
+
+    if not os.path.exists(path):
+        return None
+    return _override_table_cached(atom_features, path,
+                                  os.path.getmtime(path))
+
+
+@functools.lru_cache(maxsize=None)
+def _override_table_cached(atom_features: str, path: str, _mtime: float):
     import json
     import os
 

@@ -176,26 +176,11 @@ def make_slab(atoms: Atoms, miller: Tuple[int, int, int] = (1, 1, 1),
     if np.linalg.det(basis.astype(np.float64) @ atoms.lattice_mat) < 0:
         basis[0] = -basis[0]
 
-    new_lat = basis.astype(np.float64) @ atoms.lattice_mat
-    # re-express fractional coords in the new basis; fill the new cell
-    inv_basis = np.linalg.inv(basis.astype(np.float64))
-    reps = 2  # search images to fill the transformed cell
-    imgs = np.stack(np.meshgrid(*([np.arange(-reps, reps + 1)] * 3),
-                                indexing="ij"), axis=-1).reshape(-1, 3)
-    fracs, elems = [], []
-    for img in imgs:
-        f = (atoms.frac_coords + img) @ inv_basis
-        inside = np.all((f > -1e-8) & (f < 1 - 1e-8), axis=1)
-        for j in np.nonzero(inside)[0]:
-            fracs.append(f[j])
-            elems.append(atoms.elements[j])
-    fracs = np.array(fracs).reshape(-1, 3)
-    # dedup
-    _uniq, idx = np.unique(np.round(fracs, 6) % 1.0, axis=0,
-                           return_index=True)
-    fracs = fracs[np.sort(idx)]
-    elems = [elems[i] for i in np.sort(idx)]
-    unit = Atoms(lattice_mat=new_lat, frac_coords=fracs, elements=elems)
+    # fill the transformed cell via the general integer-matrix
+    # supercell (corner-derived image bounds + fill-count VERIFICATION
+    # — a fixed +-2 image search silently dropped atoms for Miller
+    # indices like (3,2,1), making surface energies wrong)
+    unit = atoms.make_supercell_matrix(basis)
 
     slab = unit.make_supercell((1, 1, layers))
     # add vacuum along c
@@ -277,9 +262,8 @@ def get_interface_energy(calc, film: Atoms, substrate: Atoms,
             "substrate_transform": match.substrate_transform.tolist()})
     lat_s = s_slab.lattice_mat
     # strain film in-plane onto substrate a/b
-    f_cart = f_slab.cart_coords
     lat_f = f_slab.lattice_mat
-    frac_f = f_cart @ np.linalg.inv(lat_f)
+    frac_f = f_slab.frac_coords
     c_s = np.linalg.norm(lat_s[2])
     c_f = np.linalg.norm(lat_f[2])
     c_hat = lat_s[2] / c_s

@@ -113,7 +113,10 @@ def train_model_dp(config, train_loader, val_loader, test_loader=None,
             restart_params_path=restart_params_path,
             train_step_factory=step_factory)
 
-    mesh = make_mesh(n_devices)
+    # 1-D DP: a configured mesh_shape["data"] wins over "all devices"
+    # (it was previously parsed and then silently ignored)
+    mesh = make_mesh(n_devices if n_devices is not None
+                     else (d_size if "data" in mesh_shape else None))
     n = mesh.devices.size
     if train_loader.num_shards != n:
         raise ValueError(

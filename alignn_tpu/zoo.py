@@ -43,8 +43,10 @@ def download_checkpoint(model_name: str,
             f"unknown model {model_name}; known: {sorted(registry)[:5]}...")
     cache_dir = cache_dir or _CACHE
     out_dir = os.path.join(cache_dir, model_name)
-    if os.path.isdir(out_dir) and any(
-            f.endswith((".pt", ".mpk")) for f in os.listdir(out_dir)):
+    # figshare zips extract into NESTED directories — a top-level
+    # listdir never hit, re-downloading the archive on every call
+    if os.path.isdir(out_dir) and _find(
+            out_dir, [".pt", ".mpk"]) is not None:
         return out_dir
     url = registry[model_name]["url"]
     os.makedirs(out_dir, exist_ok=True)
@@ -107,8 +109,12 @@ def load_model_dir(model_dir: str):
                   frac_coords=np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
                   elements=["Na", "Cl"])
     g = build_graph(probe, cutoff=6.0, max_neighbors=12)
+    # the probe must use the CHECKPOINT's featurization: a non-cgcnn
+    # model (e.g. atom_features="basic", 11-dim) would otherwise init a
+    # [92, h] embedding kernel and fail/mismatch the restore
     batch = batch_graphs([g], BucketSpec.tight_for_batch([g]),
-                         atom_features="cgcnn")
+                         atom_features=cfg_dict.get("atom_features",
+                                                    "cgcnn"))
     rng = jax.random.PRNGKey(0)
     # jitted init: one compile instead of hundreds of eager op compiles
     if getattr(model_cfg, "name", "") == "ealignn_atomwise":
@@ -212,6 +218,9 @@ def get_prediction(model_name: str = "jv_formation_energy_peratom_alignn",
                    cutoff: float = 8.0,
                    max_neighbors: int = 12) -> np.ndarray:
     """Single-structure zoo prediction (reference pretrained.py:306-329)."""
+    if atoms is None:
+        raise ValueError("get_prediction requires an Atoms structure "
+                         "(atoms=...)")
     model, variables, _cfg = get_figshare_model(model_name)
     out = predict_structures(model, variables, [atoms], cutoff=cutoff,
                              max_neighbors=max_neighbors)

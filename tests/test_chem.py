@@ -135,7 +135,7 @@ def test_table_override_wins(tmp_path, monkeypatch):
     table = {"Si": [float(i) for i in range(92)], "8": [1.5] * 92}
     (tmp_path / "cgcnn.json").write_text(json.dumps(table))
     monkeypatch.setenv("ALIGNN_TPU_TABLES_DIR", str(tmp_path))
-    features._override_table.cache_clear()
+    features._override_table_cached.cache_clear()
     try:
         lut = features.attribute_lookup_table("cgcnn")
         np.testing.assert_allclose(lut[14], np.arange(92, dtype=np.float32))
@@ -144,7 +144,7 @@ def test_table_override_wins(tmp_path, monkeypatch):
         # also zero-fills unknown species)
         assert lut[1].sum() != lut[14].sum()
     finally:
-        features._override_table.cache_clear()
+        features._override_table_cached.cache_clear()
 
 
 def test_vendored_cgcnn_exact():
