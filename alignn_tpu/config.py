@@ -43,7 +43,7 @@ DATASETS = (
     "hpov", "pdbbind", "pdbbind_core", "tinnet_OH", "tinnet_O", "tinnet_N",
 )
 
-FEATURESET_SIZE = {"basic": 11, "atomic_number": 1, "cfid": 438, "cgcnn": 92}
+from alignn_tpu.chem.features import FEATURESET_SIZE  # noqa: E402  (canonical table)
 
 
 # Known target names (factual registry extracted from the reference's
@@ -171,14 +171,23 @@ class TrainingConfig:
     def __post_init__(self):
         if isinstance(self.model, dict):
             self.model = model_config_from_dict(self.model)
-        # env overrides, parity with BaseSettings env_prefix behavior
+        # env overrides, parity with pydantic BaseSettings PRIORITY:
+        # explicitly-provided values (init args / config.json keys) WIN
+        # over the environment — env only fills fields still at their
+        # dataclass default (reference alignn/utils.py:13-21 semantics;
+        # a stale shell var must not trample the user's config file)
+        defaults = {f.name: (f.default if f.default
+                             is not dataclasses.MISSING else None)
+                    for f in dataclasses.fields(self)}
         for f in dataclasses.fields(self):
             env = os.environ.get(f"ALIGNN_TPU_{f.name.upper()}")
-            if env is not None and f.name != "model":
-                try:
-                    setattr(self, f.name, json.loads(env))
-                except json.JSONDecodeError:
-                    setattr(self, f.name, env)
+            if env is None or f.name == "model":
+                continue
+            cur = getattr(self, f.name)
+            if f.default is not dataclasses.MISSING and \
+                    cur != defaults[f.name]:
+                continue  # explicitly set by the caller — env loses
+            setattr(self, f.name, _coerce_env(env))
         if self.atom_features not in FEATURESET_SIZE:
             raise ValueError(f"unknown atom_features: {self.atom_features}")
         # target-name validation (reference TARGET_ENUM, config.py:26-122):
@@ -209,3 +218,18 @@ class TrainingConfig:
         """Validated-config dump parity (reference train.py:80-83)."""
         with open(path, "w") as f:
             json.dump(self.to_dict(), f, indent=2, default=str)
+
+
+def _coerce_env(env: str):
+    """Parse an env-var override: JSON first, then Python-style literal
+    booleans/None ('False' would otherwise bind as a TRUTHY string on a
+    bool field), else the raw string."""
+    try:
+        return json.loads(env)
+    except json.JSONDecodeError:
+        low = env.strip().lower()
+        if low in ("true", "false"):
+            return low == "true"
+        if low in ("none", "null"):
+            return None
+        return env

@@ -343,8 +343,15 @@ class GraphDataset:
                     for t in self.metadata["targets"]]
         else:
             for g in self.graphs:
-                g.target = (np.atleast_1d(g.target) - mean) / std
-        self.target_mean, self.target_std = mean, std
+                if g.target is not None:  # force-only FF records
+                    g.target = (np.atleast_1d(g.target) - mean) / std
+        # COMPOSE the recorded stats across repeated scalings so they
+        # always invert the total transform: t2(t1(x)) =
+        # (x - (m1 + m2 s1)) / (s1 s2)
+        prev_mean = getattr(self, "target_mean", 0.0) or 0.0
+        prev_std = getattr(self, "target_std", 1.0) or 1.0
+        self.target_mean = prev_mean + mean * prev_std
+        self.target_std = prev_std * std
         return self
 
     def standardize_from(self, other: "GraphDataset" = None):

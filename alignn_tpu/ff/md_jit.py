@@ -208,14 +208,20 @@ def run_md_jit(model, variables, atoms: Atoms,
 
         frac, vel, key, epots, ekins = cache[n_run](
             batch, jnp.asarray(masses), frac, vel, key)
-        frac_h = np.asarray(jax.device_get(frac))[: cur.num_atoms]
-        vel_np = np.asarray(jax.device_get(vel))[: cur.num_atoms]
-        epots = np.asarray(jax.device_get(epots))
-        ekins = np.asarray(jax.device_get(ekins))
+        # ONE batched device fetch per chunk (CLAUDE.md fetch rule)
+        frac_h, vel_h, epots, ekins = jax.device_get(
+            (frac, vel, epots, ekins))
+        frac_h = np.asarray(frac_h)[: cur.num_atoms]
+        vel_np = np.asarray(vel_h)[: cur.num_atoms]
+        epots = np.asarray(epots)
+        ekins = np.asarray(ekins)
         cur = cur.with_positions(frac_coords=frac_h)
-        done += n_run
         n_at = cur.num_atoms
-        log.append(done, done * timestep_fs, float(epots[-1]),
-                   float(ekins[-1]),
-                   float(2 * ekins[-1] / (3 * n_at * KB)))
+        # the scan already returned EVERY step's energies — log them all
+        # (run_md parity: one row per step, not one per chunk)
+        for k in range(n_run):
+            log.append(done + k + 1, (done + k + 1) * timestep_fs,
+                       float(epots[k]), float(ekins[k]),
+                       float(2 * ekins[k] / (3 * n_at * KB)))
+        done += n_run
     return cur, log

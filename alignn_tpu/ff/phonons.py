@@ -124,15 +124,21 @@ def phonon_band_structure(calc, atoms: Atoms, supercell=(2, 2, 2),
                 ("R", [0.5, 0.5, 0.5])]
     qs, labels, freqs, dists = [], [], [], []
     dist = 0.0
+    # segment lengths in CARTESIAN reciprocal space (q_cart = q_frac @ B,
+    # B = 2 pi inv(lat).T): fractional norms would distort the band-plot
+    # x-axis for any non-cubic cell
+    recip = 2.0 * np.pi * np.linalg.inv(
+        np.asarray(fcdata["lattice"], dtype=np.float64)).T
     for seg in range(len(path) - 1):
         q0 = np.asarray(path[seg][1], dtype=np.float64)
         q1 = np.asarray(path[seg + 1][1], dtype=np.float64)
+        seg_len = float(np.linalg.norm((q1 - q0) @ recip))
         for t in np.linspace(0, 1, npoints, endpoint=(seg == len(path) - 2)):
             q = q0 + (q1 - q0) * t
             qs.append(q.tolist())
             freqs.append(phonon_frequencies(fcdata, q).tolist())
-            dists.append(dist + np.linalg.norm(q1 - q0) * t)
-        dist += float(np.linalg.norm(q1 - q0))
+            dists.append(dist + seg_len * t)
+        dist += seg_len
         labels.append((path[seg][0], float(dists[-npoints])))
     labels.append((path[-1][0], float(dists[-1])))
     return {"qpoints": qs, "distances": dists, "frequencies_THz": freqs,

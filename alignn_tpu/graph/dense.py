@@ -252,8 +252,12 @@ def dense_batch_graphs(graphs: List[GraphData], spec: BucketSpec,
         n_nodes[gi] = nn
         graph_mask[gi] = 1.0
         if g.target is not None:
-            target[gi] = np.asarray(g.target, dtype=dtype).reshape(-1)[
-                : target.shape[1]]
+            tg = np.asarray(g.target, dtype=dtype).reshape(-1)
+            if tg.shape[0] != target.shape[1]:
+                raise ValueError(
+                    f"graph target width {tg.shape[0]} != batch "
+                    f"target_width {target.shape[1]}")
+            target[gi] = tg
         if g.forces is not None:
             forces[ns] = g.forces
         if g.stress is not None:

@@ -100,7 +100,7 @@ def test_jit_md_dense_asymmetric_chunk_falls_back(setup, monkeypatch):
                         initial_temperature_K=80.0, seed=3, cutoff=5.0,
                         chunk_steps=3, dense=True)
     assert fail["n"] == 0
-    assert len(log.rows) == 2
+    assert len(log.rows) == 6       # per-step rows (run_md parity)
     assert np.isfinite(a.cart_coords).all()
 
 
