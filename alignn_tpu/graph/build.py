@@ -362,6 +362,16 @@ def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
     Equivalent of `Graph.atom_dgl_multigraph` (reference graphs.py:471-592)
     minus the DGL object: returns flat arrays ready for batching.
     """
+    # wrap fractional coords into [0, 1): the image-range search (here
+    # and in native/neighbors.cpp) derives its supercell window from the
+    # fractional bounding box and silently MISSES pairs once coordinates
+    # drift far out of the home cell (long unwrapped MD trajectories).
+    # A no-op (bit-identical) for already-wrapped inputs; the stored
+    # frac_coords/images stay mutually consistent for r recomputation.
+    frac = np.asarray(atoms.frac_coords)
+    if frac.size and (frac.min() < 0.0 or frac.max() >= 1.0):
+        atoms = Atoms(lattice_mat=atoms.lattice_mat,
+                      frac_coords=frac % 1.0, elements=atoms.elements)
     if neighbor_strategy == "k-nearest":
         edges = nearest_neighbor_edges(
             atoms, cutoff=cutoff, max_neighbors=max_neighbors,

@@ -52,9 +52,19 @@ class Graph:
                 adj[a, b] = d
         table = attribute_lookup_table(atom_features)
         feats = table[atoms.atomic_numbers]
-        edges = [(int(a), int(b)) for a, b in zip(u, v)]
+        # ONE edge per (i, j) at the min periodic distance, consistent
+        # with the adjacency matrix (per-image duplicates left
+        # to_networkx weights at an arbitrary image's distance), capped
+        # at the max_neighbors nearest per source like the reference
+        edges, weights = [], []
+        for a in range(n):
+            nb = [(adj[a, b], b) for b in range(n) if adj[a, b] > 0]
+            nb.sort()
+            for d, b in nb[:max_neighbors]:
+                edges.append((int(a), int(b)))
+                weights.append(float(d))
         return cls(nodes=list(range(n)), node_attributes=feats.tolist(),
-                   edges=edges, edge_attributes=dist.tolist(),
+                   edges=edges, edge_attributes=weights,
                    adjacency=adj)
 
     @property

@@ -49,6 +49,11 @@ void* rs_writer_open(const char* path) {
   auto* w = new Writer();
   w->path = path;
   std::string dpath = w->path + ".data";
+  // invalidate any PREVIOUS index up front: "wb" truncates .data at
+  // open, and an interrupted rebuild would otherwise leave a stale
+  // .idx pointing into the truncated data (SIGBUS / silently corrupt
+  // records); the new index is only published at close.
+  unlink((w->path + ".idx").c_str());
   w->data = fopen(dpath.c_str(), "wb");
   if (!w->data) {
     delete w;
@@ -67,8 +72,12 @@ int64_t rs_writer_put(void* handle, const uint8_t* buf, int64_t len) {
 }
 
 int rs_writer_close(void* handle) {
+  // every write/close return is checked: buffered ENOSPC often only
+  // surfaces at fclose, and a swallowed failure publishes a cache the
+  // next run trusts (data/cache.py raises on our -1)
   auto* w = (Writer*)handle;
-  fclose(w->data);
+  int rc = 0;
+  if (fclose(w->data) != 0) rc = -1;
   std::string ipath = w->path + ".idx";
   FILE* idx = fopen(ipath.c_str(), "wb");
   if (!idx) {
@@ -76,14 +85,15 @@ int rs_writer_close(void* handle) {
     return -1;
   }
   int64_t n = (int64_t)w->offsets.size();
-  fwrite(&n, sizeof(int64_t), 1, idx);
+  if (fwrite(&n, sizeof(int64_t), 1, idx) != 1) rc = -1;
   for (int64_t i = 0; i < n; ++i) {
-    fwrite(&w->offsets[i], sizeof(int64_t), 1, idx);
-    fwrite(&w->lengths[i], sizeof(int64_t), 1, idx);
+    if (fwrite(&w->offsets[i], sizeof(int64_t), 1, idx) != 1) rc = -1;
+    if (fwrite(&w->lengths[i], sizeof(int64_t), 1, idx) != 1) rc = -1;
   }
-  fclose(idx);
+  if (fclose(idx) != 0) rc = -1;
+  if (rc != 0) unlink(ipath.c_str());  // do not publish a bad index
   delete w;
-  return 0;
+  return rc;
 }
 
 static void* map_file(const std::string& path, size_t* size) {
@@ -118,6 +128,11 @@ void* rs_reader_open(const char* path) {
   r->index = (const int64_t*)i;
   r->index_size = isize;
   r->n = r->index[0];
+  // clamp n to what the mapped index actually holds (truncated .idx
+  // from a disk-full close must not drive out-of-bounds reads)
+  int64_t max_n = (int64_t)((isize - sizeof(int64_t)) /
+                            (2 * sizeof(int64_t)));
+  if (r->n < 0 || r->n > max_n) r->n = max_n < 0 ? 0 : max_n;
   return r;
 }
 
@@ -130,6 +145,10 @@ int64_t rs_reader_get(void* handle, int64_t idx, uint8_t* out,
   if (idx < 0 || idx >= r->n) return -1;
   int64_t off = r->index[1 + 2 * idx];
   int64_t len = r->index[2 + 2 * idx];
+  // bounds-check against the mapped data (stale/corrupt index would
+  // otherwise SIGBUS deep in memcpy instead of erroring in Python)
+  if (off < 0 || len < 0 || (uint64_t)off + (uint64_t)len >
+      (uint64_t)r->data_size) return -1;
   if (out && cap >= len && r->data)
     memcpy(out, r->data + off, (size_t)len);
   return len;

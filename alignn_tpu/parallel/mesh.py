@@ -17,9 +17,13 @@ def make_mesh(n_devices: Optional[int] = None,
     1-D data mesh by default; pass `shape` + `axis_names` for 2-D
     (data x model) meshes used by the edge-partitioned mode.
     """
-    devices = jax.devices()
     if n_devices is not None:
-        devices = devices[:n_devices]
+        # slicing must take LOCAL devices: a global-list slice on a
+        # multi-host run would hand process 1 a mesh over process 0's
+        # (non-addressable) devices
+        devices = jax.local_devices()[:n_devices]
+    else:
+        devices = jax.devices()
     if shape is None:
         shape = (len(devices),)
     arr = np.asarray(devices).reshape(tuple(shape))
@@ -31,8 +35,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            process_id: Optional[int] = None):
     """Multi-host DCN rendezvous (replaces NCCL init_process_group,
     reference train_alignn.py:27-38)."""
+    if coordinator_address is None and (num_processes is not None
+                                        or process_id is not None):
+        raise ValueError(
+            "num_processes/process_id require coordinator_address — "
+            "silently falling back to auto-detection would ignore the "
+            "explicit process identity")
     kwargs = {}
     if coordinator_address is not None:
-        kwargs.update(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+        kwargs.update(coordinator_address=coordinator_address)
+    if num_processes is not None:
+        kwargs.update(num_processes=num_processes)
+    if process_id is not None:
+        kwargs.update(process_id=process_id)
     jax.distributed.initialize(**kwargs)

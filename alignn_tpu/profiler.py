@@ -35,13 +35,23 @@ def profile_step(step_fn: Callable, state, batch,
     Runs `wait` untimed steps, `warmup` timed-but-discarded steps, then
     `active` traced+timed steps (reference profiler.py:69-84 schedule).
     Returns {"step_time_s", "edges_per_s", "trace_dir"}.
+
+    NOTE: `step_fn` must be built with donate=False
+    (train/state.make_train_step) — the caller's `state` buffers are
+    reused across schedule phases here, and a donating step would
+    delete them after the first call.
     """
+    if active < 1:
+        raise ValueError("profile_step requires active >= 1")
+    out = None
     for _ in range(wait):
         state, out = step_fn(state, batch)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     for _ in range(warmup):
         state, out = step_fn(state, batch)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
 
     ctx = trace(logdir) if logdir else contextlib.nullcontext()
     with ctx:

@@ -198,3 +198,26 @@ def test_radius_graph_jarvis_excludes_self_image():
     assert (u2 != v2).all() and u2.size > 0
     u3, v3, _r3, _im3 = radius_graph(b, cutoff=4.0)
     assert (u3 == v3).sum() > 0  # plain radius graph keeps self-image
+
+
+def test_build_graph_wraps_unwrapped_coords():
+    """The image-range search derives its window from the fractional
+    bounding box; coordinates drifted far outside [0,1) (long unwrapped
+    MD) silently LOST edges before the build-time wrap."""
+    import numpy as np
+
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+
+    base = Atoms(lattice_mat=np.eye(3) * 4.1,
+                 frac_coords=[[0.1, 0.1, 0.1], [0.6, 0.6, 0.6]],
+                 elements=["Na", "Cl"])
+    drifted = Atoms(lattice_mat=np.eye(3) * 4.1,
+                    frac_coords=np.asarray(base.frac_coords) + 5.0,
+                    elements=["Na", "Cl"])
+    g1 = build_graph(base, cutoff=5.0, max_neighbors=12)
+    g2 = build_graph(drifted, cutoff=5.0, max_neighbors=12)
+    assert g2.num_edges == g1.num_edges > 0
+    np.testing.assert_allclose(
+        np.sort(np.linalg.norm(g1.r, axis=1)),
+        np.sort(np.linalg.norm(g2.r, axis=1)), atol=1e-8)

@@ -33,6 +33,15 @@ def setup():
     return model, variables, calc, atoms
 
 
+def _wrapped_cart(atoms):
+    """Cartesian coords wrapped into the home cell: trajectories are
+    compared modulo lattice translations (the graph builder wraps
+    fractional coords, so jit-MD positions may differ from the host
+    loop's by whole lattice vectors)."""
+    frac = atoms.frac_coords % 1.0
+    return frac @ atoms.lattice_mat
+
+
 def test_jit_md_matches_host_loop(setup):
     from alignn_tpu.ff.md import run_md
     from alignn_tpu.ff.md_jit import run_md_jit
@@ -46,8 +55,8 @@ def test_jit_md_matches_host_loop(setup):
         model, variables, atoms, steps=steps, timestep_fs=dt,
         ensemble="nve", initial_temperature_K=80.0, seed=3,
         cutoff=5.0, chunk_steps=1)
-    np.testing.assert_allclose(jit_atoms.cart_coords,
-                               host_state.atoms.cart_coords,
+    np.testing.assert_allclose(_wrapped_cart(jit_atoms),
+                               _wrapped_cart(host_state.atoms),
                                rtol=1e-4, atol=1e-5)
     assert jit_log.rows[-1]["etot"] == pytest.approx(
         host_log.rows[-1]["etot"], rel=1e-3)
@@ -62,7 +71,7 @@ def test_jit_md_chunked_close_to_stepwise(setup):
     a1, log1 = run_md_jit(model, variables, atoms, chunk_steps=1, **kw)
     a8, log8 = run_md_jit(model, variables, atoms, chunk_steps=8, **kw)
     # frozen-topology drift over 8 tiny steps must be negligible
-    np.testing.assert_allclose(a8.cart_coords, a1.cart_coords,
+    np.testing.assert_allclose(_wrapped_cart(a8), _wrapped_cart(a1),
                                rtol=1e-4, atol=1e-5)
 
 
@@ -114,7 +123,8 @@ def test_jit_md_dense_matches_sparse(setup):
               chunk_steps=3)
     a_sparse, log_s = run_md_jit(model, variables, atoms, **kw)
     a_dense, log_d = run_md_jit(model, variables, atoms, dense=True, **kw)
-    np.testing.assert_allclose(a_dense.cart_coords, a_sparse.cart_coords,
+    np.testing.assert_allclose(_wrapped_cart(a_dense),
+                               _wrapped_cart(a_sparse),
                                rtol=1e-4, atol=1e-5)
     assert log_d.rows[-1]["etot"] == pytest.approx(
         log_s.rows[-1]["etot"], rel=1e-3)
