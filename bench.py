@@ -14,6 +14,7 @@ host CPU (documented in BENCH_NOTES.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -59,6 +60,17 @@ def build_batch(batch_size=32, seed=0, dense=False):
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Readiness probe with retry: one transient axon-backend UNAVAILABLE
+    # at first dispatch cost round 2 its driver perf record (BENCH_r02
+    # rc=1), and round 3 observed *hung* inits.  A killable subprocess
+    # probe bounds each attempt; only then touch the device in-process.
+    from alignn_tpu.backend_retry import (
+        probe_devices, probe_devices_subprocess, retry_transient)
+
+    _log = lambda m: print(f"# bench: {m}", file=sys.stderr)  # noqa: E731
+    retry_transient(probe_devices_subprocess, attempts=3, log=_log)
+    retry_transient(probe_devices, log=_log)
 
     from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
     from alignn_tpu.train.optim import build_optimizer
@@ -144,4 +156,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        from alignn_tpu.backend_retry import is_transient, retry_transient
+
+        # Retry the whole workload too: a mid-run transient (post-probe)
+        # restarts main() — compile caches make the retry cheap.
+        retry_transient(main, attempts=3,
+                        log=lambda m: print(f"# bench: {m}",
+                                            file=sys.stderr))
+    except Exception as e:  # noqa: BLE001 — structured error, not traceback
+        print(json.dumps({
+            "metric": "train_step_edges_per_s",
+            "value": None,
+            "unit": "edges/s/chip (g + L(g), fwd+bwd incl. force grad)",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+            "transient": is_transient(e),
+        }))
+        sys.exit(1)
