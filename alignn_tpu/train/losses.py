@@ -45,11 +45,17 @@ def poisson_loss(pred, target, mask):
 
 
 def zig_loss(pred, target, mask):
-    """Zero-inflated 'gamma-ish' loss.
+    """Zero-inflated loss for sparse targets — a stated EXTENSION.
 
-    The reference's `zig` criterion (config.py:180) routes to a
-    zero-inflated loss for sparse targets; implemented as the standard
-    decomposition: BCE on the zero indicator + L1 on the positive part.
+    NOT a parity pin: the reference declares ``criterion: "zig"``
+    (`alignn/config.py:180`) but never routes it — its only training
+    loop is the ``"alignn_" in model.name`` branch, which hard-codes
+    ``nn.L1Loss()`` / ``NLLLoss()`` (`alignn/train.py:238-242`), so
+    "zig" (like "mse"/"poisson" there) is a vestigial config option
+    with no reference semantics to reproduce.  We implement the
+    standard zero-inflated decomposition — BCE on the zero indicator +
+    L1 on the positive magnitudes — and document the deviation in
+    docs/PARITY.md.
     """
     p_zero = jax.nn.sigmoid(pred)
     is_pos = (target > 0).astype(pred.dtype)
