@@ -1,0 +1,274 @@
+"""Post-compile HLO audit for the ring-pipelined GP mode (VERDICT r2 #3).
+
+SURVEY.md §5 mandates the L-stage halo exchange be *overlappable with
+local aggregation*; whether XLA can actually do that is a property of
+the compiled module's dependency structure, not of the Python source.
+This module parses optimized HLO text (``jit(...).lower().compile()
+.as_text()``) and answers, mechanically:
+
+- how many ring ``collective-permute`` ops the module contains, their
+  payload bytes, and which ring (forward jvp vs reverse transpose,
+  per-layer) each belongs to;
+- whether each permute is **overlap-capable**: a permute whose
+  transitive operand closure contains no ``scatter`` (the local
+  segment-sum aggregation) is schedulable concurrently with that
+  aggregation — on TPU, XLA's latency-hiding scheduler splits it into
+  ``collective-permute-{start,done}`` and hoists the start before the
+  local compute.  A permute *data-dependent* on the local scatter is
+  structurally serialized no matter the scheduler.
+- total all-reduce (psum) bytes for the node-stage halo.
+
+The forward ring sends ``buf`` (gate/update projections), which depends
+only on dense layers of the layer input — never on the same layer's
+aggregation — so every forward permute must audit overlap-capable.  The
+reverse ring is the transpose of a gather out of the circulating buffer:
+its payload accumulates each chip's scatter-add contribution before
+being forwarded, an inherently serialized accumulate-and-forward chain
+(the standard reverse-ring pattern); the audit reports it honestly
+rather than pretending otherwise.  What *can* overlap in reverse is the
+computation of each step's local contribution, which depends only on
+forward residuals.
+
+Used by tests/test_ring_overlap.py (asserts the byte formula
+``(D-1) * E/D * 2F * dtype`` per layer and forward overlap-capability)
+and tools/gp_sweep.py's ICI projection model.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+_INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%(?P<name>[^\s=]+)\s*=\s*"
+                       r"(?P<rest>.+)$")
+_OP_RE = re.compile(r"^(?P<type>.*?)\s(?P<op>[a-z][a-z0-9\-]*)\(")
+_COMP_RE = re.compile(r"^(?:ENTRY\s+)?%(?P<name>[^\s(]+)\s*\(.*\)\s*->"
+                      r".*\{\s*$")
+_REF_RE = re.compile(r"%([\w.\-]+)")
+_CALLS_RE = re.compile(r"calls=%([\w.\-]+)")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+@dataclass
+class Instr:
+    name: str
+    opcode: str
+    type_str: str
+    deps: List[str]
+    calls: List[str]
+    comp: str
+    op_name: str = ""
+
+
+@dataclass
+class CollectiveInfo:
+    name: str
+    kind: str            # "collective-permute" | "all-reduce" | ...
+    payload_bytes: int
+    op_name: str
+    # op_names of every scatter in the transitive operand closure
+    scatter_deps: frozenset = frozenset()
+    phase: str = "other"  # "forward" | "transpose" | "other"
+
+    @property
+    def scatter_free(self) -> bool:
+        return not self.scatter_deps
+
+    @property
+    def stage(self) -> str:
+        """The op_name prefix of the stage this collective belongs to."""
+        return self.op_name.rsplit("/", 1)[0]
+
+    @property
+    def stage_overlap_capable(self) -> bool:
+        """No data dependence on the OWN stage's aggregation scatters.
+
+        Cross-layer scatter deps are inherent (layer i+1 consumes layer
+        i's aggregated output); what decides whether the ring pipeline
+        of one L-stage can overlap comm with its local segment sums is
+        within-stage independence only."""
+        # compare module-relative stages: strip the jvp/transpose prefix
+        own = _strip_ad_prefix(self.stage)
+        return not any(own and own in _strip_ad_prefix(s)
+                       for s in self.scatter_deps)
+
+
+def _strip_ad_prefix(op_name: str) -> str:
+    """Drop the jit/shard_map/jvp|transpose wrappers from an op_name so
+    forward and transpose instances of one module stage compare equal."""
+    m = re.search(r"(?:jvp|transpose)\(.*?\)[/)]*(/.*)$", op_name)
+    return m.group(1) if m else op_name
+
+
+@dataclass
+class RingAudit:
+    collectives: List[CollectiveInfo] = field(default_factory=list)
+
+    def permutes(self, phase: Optional[str] = None):
+        out = [c for c in self.collectives
+               if c.kind == "collective-permute"]
+        if phase is not None:
+            out = [c for c in out if c.phase == phase]
+        return out
+
+    def all_reduces(self):
+        return [c for c in self.collectives if c.kind == "all-reduce"]
+
+    def permute_bytes(self, phase: Optional[str] = None) -> int:
+        return sum(c.payload_bytes for c in self.permutes(phase))
+
+    def summary(self) -> Dict:
+        fwd = self.permutes("forward")
+        bwd = self.permutes("transpose")
+        return {
+            "permutes_forward": len(fwd),
+            "permutes_transpose": len(bwd),
+            "permute_bytes_forward": sum(c.payload_bytes for c in fwd),
+            "permute_bytes_transpose": sum(c.payload_bytes for c in bwd),
+            "forward_overlap_capable": all(c.stage_overlap_capable
+                                           for c in fwd),
+            "transpose_scatter_chained": [not c.stage_overlap_capable
+                                          for c in bwd].count(True),
+            "all_reduce_bytes": sum(c.payload_bytes
+                                    for c in self.all_reduces()),
+            "all_reduces": len(self.all_reduces()),
+        }
+
+
+def shape_bytes(type_str: str) -> int:
+    """Total bytes of an HLO type string (sums tuple elements)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(type_str):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def parse_instructions(hlo_text: str) -> Dict[str, Instr]:
+    """name -> Instr for every instruction in every computation."""
+    instrs: Dict[str, Instr] = {}
+    comp = ""
+    for line in hlo_text.splitlines():
+        mc = _COMP_RE.match(line)
+        if mc and "=" not in line.split("(")[0]:
+            comp = mc.group("name")
+            continue
+        mi = _INSTR_RE.match(line)
+        if not mi:
+            continue
+        name, rest = mi.group("name"), mi.group("rest")
+        mo = _OP_RE.match(rest)
+        if not mo:
+            continue
+        opcode, type_str = mo.group("op"), mo.group("type")
+        calls = _CALLS_RE.findall(rest)
+        # strip metadata braces before collecting %refs (op_name text
+        # can't contain %, but keep it tidy) and drop self-reference
+        refs = [r for r in _REF_RE.findall(rest) if r != name]
+        opname = _OPNAME_RE.search(rest)
+        instrs[name] = Instr(name=name, opcode=opcode, type_str=type_str,
+                             deps=refs, calls=calls, comp=comp,
+                             op_name=opname.group(1) if opname else "")
+    return instrs
+
+
+def _scatterish(instrs: Dict[str, Instr]) -> Dict[str, bool]:
+    """Instruction-level 'is a scatter' marks, seen through fusions.
+
+    A fusion/call whose called computation contains a scatter counts as
+    scatter itself (XLA wraps scatters in kLoop fusions on CPU)."""
+    comp_has_scatter: Dict[str, bool] = {}
+    for ins in instrs.values():
+        if ins.opcode == "scatter":
+            comp_has_scatter[ins.comp] = True
+    marks: Dict[str, bool] = {}
+    for name, ins in instrs.items():
+        marks[name] = (ins.opcode == "scatter"
+                       or any(comp_has_scatter.get(c, False)
+                              for c in ins.calls))
+    return marks
+
+
+def _transitive_scatter(instrs: Dict[str, Instr]
+                        ) -> Dict[str, frozenset]:
+    """name -> op_names of every scatter in the transitive closure."""
+    marks = _scatterish(instrs)
+    memo: Dict[str, frozenset] = {}
+
+    def visit(name: str) -> frozenset:
+        if name in memo:
+            return memo[name]
+        memo[name] = frozenset()  # cycle guard (HLO is a DAG, be safe)
+        ins = instrs.get(name)
+        if ins is None:
+            return frozenset()
+        out = set()
+        if marks.get(name, False):
+            out.add(ins.op_name or name)
+        for d in ins.deps:
+            out |= visit(d)
+        memo[name] = frozenset(out)
+        return memo[name]
+
+    return {n: visit(n) for n in instrs}
+
+
+def audit_collectives(hlo_text: str) -> RingAudit:
+    """Parse + classify every collective in an optimized HLO module."""
+    instrs = parse_instructions(hlo_text)
+    scat = _transitive_scatter(instrs)
+    audit = RingAudit()
+    for name, ins in instrs.items():
+        if ins.opcode not in ("collective-permute", "all-reduce",
+                              "all-gather", "reduce-scatter"):
+            continue
+        if "transpose(" in ins.op_name:
+            phase = "transpose"
+        elif "jvp(" in ins.op_name or ins.op_name:
+            phase = "forward"
+        else:
+            phase = "other"
+        audit.collectives.append(CollectiveInfo(
+            name=name, kind=ins.opcode,
+            payload_bytes=shape_bytes(ins.type_str),
+            op_name=ins.op_name, scatter_deps=scat[name],
+            phase=phase))
+    return audit
+
+
+def expected_ring_bytes(n_devices: int, e_pad: int, features: int,
+                        dtype_bytes: int = 4, r_dtype_bytes: int = 4,
+                        alignn_layers: int = 1,
+                        with_gradient: bool = True) -> Dict[str, int]:
+    """The analytic wire-byte model the audit is checked against.
+
+    Per chip, per direction of the ring:
+    - each L-stage: (D-1) permutes of the [E/D, 2F] gate/update buffer;
+    - the cosine ring (once): (D-1) permutes of the [E/D, 3] r shard;
+    - the reverse rings mirror the forward ones exactly (the transpose
+      of ppermute is ppermute with inverted pairs).
+    """
+    d = n_devices
+    shard = e_pad // d
+    l_stage = (d - 1) * shard * 2 * features * dtype_bytes
+    cosines = (d - 1) * shard * 3 * r_dtype_bytes
+    fwd = alignn_layers * l_stage + cosines
+    return {
+        "per_l_stage": l_stage,
+        "cosine_ring": cosines,
+        "forward_total": fwd,
+        "total": fwd * (2 if with_gradient else 1),
+    }
