@@ -100,7 +100,17 @@ def main():
     batch = build_batch(batch_size=64, dense=dense)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
-    step = make_train_step(model, criterion="l1", donate=False)
+    if os.environ.get("ALIGNN_TPU_BENCH_FJVP"):
+        # forward-over-reverse research step — measured SLOWER (+19%
+        # flops; train/fjvp.py docstring + BENCH_NOTES round 3); flag
+        # kept for device A/B verification. Requires the XLA path
+        # (custom-VJP Pallas kernels block jvp), so combine with
+        # ALIGNN_TPU_DISABLE_PALLAS=1 on sparse layouts.
+        from alignn_tpu.train.fjvp import make_train_step_fjvp
+
+        step = make_train_step_fjvp(model, criterion="l1", donate=False)
+    else:
+        step = make_train_step(model, criterion="l1", donate=False)
 
     # REAL (unpadded) edges + L-edges — comparable across layouts and
     # against the torch-CPU baseline, which also counts real edges.
