@@ -12,7 +12,8 @@ SCRIPTS = [
     "train_all", "early_stopping_checker", "predict_db",
     "plot_ff_results", "plot_phonons_ff", "ev_curve", "graph_viz",
     "defect", "cubic_mat_relax", "make_test_split_cross_pred",
-    "final_model", "compare_cfid",
+    "final_model", "compare_cfid", "predict_db_all", "ev_curve_comp",
+    "alignn_evac",
 ]
 
 

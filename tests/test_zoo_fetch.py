@@ -133,3 +133,64 @@ def test_load_dataset_unknown_name_raises(tmp_path):
     with pytest.raises(ValueError, match="no known figshare url"):
         load_dataset("definitely_not_a_dataset",
                      cache_dir=str(tmp_path / "dcache3"))
+
+
+def test_predict_db_all_hermetic(tmp_path, monkeypatch):
+    """The predict_db_all campaign script end to end on forged fixtures:
+    local model dir + patched dataset loader -> per-prop CSVs + MAE."""
+    import alignn_tpu.zoo as zoo
+    import alignn_tpu.data.figshare as figshare
+    from alignn_tpu.scripts import predict_db_all as pda
+
+    zpath, _ = _forge_model_zip(tmp_path)
+    monkeypatch.setattr(zoo, "get_all_models", lambda: {
+        "forged_model": {"url": f"file://{zpath}", "output_features": 1}})
+    model_dir = zoo.download_checkpoint("forged_model",
+                                        cache_dir=str(tmp_path / "cache"))
+
+    records = [{"id": f"s-{i}",
+                "atoms": {"lattice_mat": (np.eye(3) * (4 + 0.1 * i)
+                                          ).tolist(),
+                          "coords": [[0, 0, 0], [0.5, 0.5, 0.5]],
+                          "elements": ["Na", "Cl"]},
+                "e_form": 0.1 * i, "gap pbe": "na"} for i in range(4)]
+    monkeypatch.setattr(figshare, "load_dataset",
+                        lambda name, **kw: records)
+    monkeypatch.setattr(pda, "DATASET_PROPS",
+                        {"megnet": ("id", ["e_form", "gap pbe"])})
+
+    pda.main(["--form_model", model_dir, "--gap_model", model_dir,
+              "--datasets", "megnet", "--output_dir", str(tmp_path)])
+    csv = tmp_path / "megnet_e_formpredictions.csv"
+    assert csv.exists()
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == "id,target,prediction,difference"
+    assert len(lines) == 5  # header + 4 rows
+
+
+def test_alignn_evac_hermetic(tmp_path, monkeypatch):
+    """alignn_evac on a forged total-energy model + local POSCAR."""
+    import alignn_tpu.zoo as zoo
+    from alignn_tpu.scripts import alignn_evac
+
+    zpath, _ = _forge_model_zip(tmp_path)
+    monkeypatch.setattr(zoo, "get_all_models", lambda: {
+        "forged_model": {"url": f"file://{zpath}", "output_features": 1}})
+    model_dir = zoo.download_checkpoint("forged_model",
+                                        cache_dir=str(tmp_path / "cache"))
+
+    poscar = tmp_path / "POSCAR"
+    poscar.write_text(
+        "NaCl\n1.0\n4.0 0 0\n0 4.0 0\n0 0 4.0\nNa Cl\n1 1\ndirect\n"
+        "0.0 0.0 0.0\n0.5 0.5 0.5\n")
+    (tmp_path / "mu.json").write_text(json.dumps({"Na": -1.0,
+                                                  "Cl": -2.0}))
+    out = tmp_path / "evac.json"
+    mem = alignn_evac.main([str(poscar), "--model", model_dir,
+                            "--chem_pot_json", str(tmp_path / "mu.json"),
+                            "--supercell", "1,1,1",
+                            "--output", str(out)])
+    assert len(mem) == 2  # one vacancy per distinct element
+    assert {m["symb"] for m in mem} == {"Na", "Cl"}
+    assert all(np.isfinite(m["Ef2"]) for m in mem)
+    assert out.exists()
