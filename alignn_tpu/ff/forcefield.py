@@ -170,14 +170,22 @@ class ForceField:
         dumpjson(out, os.path.join(self.dirname, "interface.json"))
         return out
 
-    def phonons3(self, supercell=(2, 2, 2), **kw) -> Dict:
+    def phonons3(self, supercell=(2, 2, 2), export_fc3: bool = True,
+                 **kw) -> Dict:
         """Third-order FC + thermal conductivity (reference phonons3,
         ff/ff.py:1271-1334 — see ff/phonons3.py for the owned-vs-modeled
-        physics split)."""
+        physics split).  Also writes ``fc3.hdf5`` in phono3py's compact
+        layout so an exact RTA run needs only a phono3py install."""
         from alignn_tpu.ff import phonons3 as _ph3
 
         out = _ph3.thermal_conductivity(self.calc, self.atoms,
                                         supercell=supercell, **kw)
+        if export_fc3:
+            fcdata = _ph3.third_order_fc(self.calc, self.atoms,
+                                         supercell=supercell)
+            out["fc3_path"] = _ph3.export_fc3(
+                fcdata, os.path.join(self.dirname, "fc3.hdf5"),
+                sc_atoms=self.atoms.make_supercell(supercell))
         dumpjson(out, os.path.join(self.dirname, "thermal_conductivity.json"))
         return out
 

@@ -89,6 +89,58 @@ def third_order_fc(calc, atoms: Atoms, supercell=(2, 2, 2),
             "n_force_calls": 36 * len(pairs)}
 
 
+def export_fc3(fcdata: Dict, path: str, sc_atoms: Atoms = None) -> str:
+    """Write fc3 in phono3py's compact ``fc3.hdf5`` layout (VERDICT r2 #7).
+
+    phono3py reads ``fc3.hdf5`` containing dataset ``fc3`` of shape
+    ``(n_patom, n_satom, n_satom, 3, 3, 3)`` in eV/Angstrom^3 plus
+    ``p2s_map`` (primitive-atom indices into the supercell) — the
+    compact form produced by ``phono3py --cf3`` workflows.  Conventions
+    matched here:
+
+    - index meaning: fc3[i, j, k, a, b, c] = d^3 E / du_ia du_jb du_kc
+      (our FD computes -d^2 F_kc / du_ia du_jb, the same tensor);
+    - supercell atom ordering: this package's ``make_supercell`` orders
+      atoms [cell_image, prim_atom] with cell (0,0,0) FIRST, so
+      p2s_map = arange(n_prim) (pinned by ff/phonons.py:46-52);
+    - translational ASR over the third index holds by construction
+      (forces are drift-removed before differencing, the analogue of
+      reference ff.py:1317-1321);
+    - entries for j outside `pair_cutoff` are zero (cutoff-truncated
+      fc3, phono3py's cutoff-pair semantics).
+
+    If ``path`` ends in ``.npz`` (or h5py is unavailable) the same
+    arrays are written as a numpy archive with identical keys, which a
+    phono3py-equipped machine converts with four lines of h5py.
+    Supercell geometry rides along for provenance when ``sc_atoms`` is
+    given.
+    """
+    fc3 = np.ascontiguousarray(
+        np.transpose(fcdata["fc3"], (0, 2, 4, 1, 3, 5)))
+    p2s_map = np.arange(fcdata["n_prim"], dtype=np.int64)
+    extras = {}
+    if sc_atoms is not None:
+        extras["supercell_lattice"] = np.asarray(sc_atoms.lattice_mat)
+        extras["supercell_frac_coords"] = np.asarray(sc_atoms.frac_coords)
+        extras["supercell_numbers"] = np.asarray(sc_atoms.atomic_numbers)
+    if not path.endswith(".npz"):
+        try:
+            import h5py
+        except Exception:
+            path = path.rsplit(".", 1)[0] + ".npz"
+        else:
+            with h5py.File(path, "w") as f:
+                f.create_dataset("fc3", data=fc3, compression="gzip")
+                f.create_dataset("p2s_map", data=p2s_map)
+                f.create_dataset(
+                    "version", data=np.bytes_("alignn_tpu-fd-compact"))
+                for k, v in extras.items():
+                    f.create_dataset(k, data=v)
+            return path
+    np.savez_compressed(path, fc3=fc3, p2s_map=p2s_map, **extras)
+    return path
+
+
 def mode_gruneisen(calc, atoms: Atoms, supercell=(2, 2, 2),
                    q_points: np.ndarray = None,
                    dvol: float = 0.01) -> Dict:
