@@ -70,7 +70,8 @@ class BackendHang(RuntimeError):
     """Backend init exceeded the probe deadline (treated as transient)."""
 
 
-def probe_devices_subprocess(timeout_s: float = 600.0) -> None:
+def probe_devices_subprocess(timeout_s: float = 600.0,
+                             extra_env: dict | None = None) -> None:
     """Probe backend init in a KILLABLE subprocess with a deadline.
 
     The axon tunnel's observed failure modes are (a) a fast transient
@@ -86,10 +87,14 @@ def probe_devices_subprocess(timeout_s: float = 600.0) -> None:
 
     code = ("import jax, jax.numpy as jnp; "
             "float(jax.device_get(jnp.ones((8, 8)).sum()))")
+    env = dict(os.environ)
+    # in-process platform overrides (jax.config) don't reach the child;
+    # callers on a forced platform (tests) pass it explicitly
+    env.update(extra_env or {})
     try:
         res = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True, env=dict(os.environ))
+            capture_output=True, text=True, env=env)
     except subprocess.TimeoutExpired:
         raise BackendHang(
             f"UNAVAILABLE: backend probe exceeded {timeout_s:.0f}s "

@@ -67,7 +67,17 @@ def test_probe_devices_cpu():
 
 
 def test_probe_subprocess_happy_path():
-    probe_devices_subprocess(timeout_s=300.0)
+    # This test pins the subprocess mechanics (spawn, deadline, rc
+    # handling) on the CPU backend.  Two env overrides make it hermetic:
+    # JAX_PLATFORMS=cpu (the conftest's in-process jax.config override
+    # does not reach children) and PALLAS_AXON_POOL_IPS="" — the axon
+    # sitecustomize calls register() at EVERY interpreter start when
+    # that var is set, and a wedged tunnel can hang python startup
+    # itself (observed round 3), which is the environment's failure,
+    # not this code path's.
+    probe_devices_subprocess(timeout_s=300.0,
+                             extra_env={"JAX_PLATFORMS": "cpu",
+                                        "PALLAS_AXON_POOL_IPS": ""})
 
 
 def test_probe_subprocess_timeout_raises_transient_hang():
