@@ -88,8 +88,22 @@ def probe_devices_subprocess(timeout_s: float = 600.0,
     code = ("import jax, jax.numpy as jnp; "
             "float(jax.device_get(jnp.ones((8, 8)).sum()))")
     env = dict(os.environ)
-    # in-process platform overrides (jax.config) don't reach the child;
-    # callers on a forced platform (tests) pass it explicitly
+    # in-process platform overrides (jax.config) don't reach the child:
+    # mirror them so a caller already forced onto CPU (tests, the
+    # verify recipe) probes CPU instead of retrying a wedged tunnel
+    try:
+        import jax
+
+        plat = jax.config.jax_platforms
+    except Exception:
+        plat = None
+    if plat:
+        env["JAX_PLATFORMS"] = plat
+        if plat == "cpu":
+            # the axon sitecustomize register() can hang interpreter
+            # startup when the tunnel is wedged; a CPU probe never
+            # needs it
+            env["PALLAS_AXON_POOL_IPS"] = ""
     env.update(extra_env or {})
     try:
         res = subprocess.run(
