@@ -55,10 +55,11 @@ include_pos_deriv=False, no classification — exactly the ALIGNN-FF
 training recipe (reference alignn_atomwise.py:529-539 double backward +
 train.py:240 L1-forced criterion). Other configs use the standard step.
 
-Requires jvp through the model, so the Pallas custom-VJP kernels are
-bypassed (XLA scatter path) unless their custom_jvp twins are active —
-see ops/pallas_eggc.py. Enable via config.fjvp_train_step or
-ALIGNN_TPU_FJVP=1.
+Requires jvp through the model, so it runs the XLA scatter path (the
+Pallas kernels' custom_vjp blocks forward mode).  Opt-in surfaces:
+`make_train_step_fjvp` (API, drop-in for make_train_step) and
+`ALIGNN_TPU_BENCH_FJVP=1` (bench.py device A/B).  It is deliberately
+NOT wired into the trainer: it measured slower (below).
 """
 
 from __future__ import annotations
