@@ -71,11 +71,7 @@ import jax.numpy as jnp
 import optax
 
 from alignn_tpu.graph.batch import GraphBatch
-from alignn_tpu.nn.models import (
-    ALIGNNAtomWise,
-    EV_A3_TO_GPA,
-    atomwise_forward,
-)
+from alignn_tpu.nn.models import ALIGNNAtomWise, EV_A3_TO_GPA
 from alignn_tpu.train.losses import atomwise_loss
 from alignn_tpu.train.state import TrainState
 
