@@ -194,4 +194,9 @@ class ForceField:
                                              supercell=supercell, **kw)
         dumpjson({k: v for k, v in out.items() if k != "fcdata"},
                  os.path.join(self.dirname, "phonon_bands.json"))
+        if "fcdata" in out:
+            # phonopy-readable fc2 alongside the bands (text format)
+            out["force_constants_path"] = _phonons.export_force_constants(
+                out["fcdata"],
+                os.path.join(self.dirname, "FORCE_CONSTANTS"))
         return out

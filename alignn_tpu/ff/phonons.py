@@ -81,6 +81,30 @@ def force_constants(calc, atoms: Atoms, supercell=(2, 2, 2),
             "prim_atoms": atoms}
 
 
+def export_force_constants(fcdata: Dict, path: str) -> str:
+    """Write fc2 in phonopy's text ``FORCE_CONSTANTS`` format.
+
+    Compact (n_prim x n_super) layout — the format phonopy reads with
+    ``force_constants.is_compact_fc``-style headers: first line
+    ``n_prim n_super``, then for each (i, j) a ``i j`` index line
+    (1-based) followed by the 3x3 block in eV/A^2.  Lets a
+    phonopy-equipped machine consume this framework's FD force
+    constants directly (reference's phonon path is phonopy,
+    ff/ff.py:1119-1269).
+    """
+    fc = np.asarray(fcdata["fc"])  # [n_prim, 3, n_super, 3]
+    n_prim, _, n_super, _ = fc.shape
+    with open(path, "w") as f:
+        f.write(f"{n_prim} {n_super}\n")
+        for i in range(n_prim):
+            for j in range(n_super):
+                f.write(f"{i + 1:4d} {j + 1:4d}\n")
+                for a in range(3):
+                    f.write("  %20.15f %20.15f %20.15f\n"
+                            % tuple(fc[i, a, j, :]))
+    return path
+
+
 def dynamical_matrix(fcdata: Dict, q_frac: np.ndarray) -> np.ndarray:
     """D(q) [3n, 3n] for q in fractional coords of the primitive recip."""
     atoms = fcdata["prim_atoms"]

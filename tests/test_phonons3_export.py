@@ -250,3 +250,29 @@ def test_slack_kappa_physical(toy):
     np.testing.assert_allclose(k[0] / k[1], 2.0, rtol=1e-6)
     np.testing.assert_allclose(k[1] / k[2], 2.0, rtol=1e-6)
     assert out["theta_d_K"] > 50  # a real, stable spectrum
+
+
+def test_export_force_constants_phonopy_text(toy, tmp_path):
+    """fc2 text export: phonopy FORCE_CONSTANTS layout, lossless."""
+    from alignn_tpu.ff.phonons import (
+        export_force_constants,
+        force_constants,
+    )
+
+    fc = force_constants(toy["calc"], toy["atoms"], supercell=(2, 2, 2),
+                         delta=0.005)
+    path = export_force_constants(fc, str(tmp_path / "FORCE_CONSTANTS"))
+    lines = open(path).read().split()
+    n_prim, n_super = int(lines[0]), int(lines[1])
+    assert (n_prim, n_super) == (4, 32)
+    # parse back: per (i, j) an index pair + 9 floats
+    vals = np.array(lines[2:], dtype=object)
+    per = 2 + 9
+    assert len(vals) == n_prim * n_super * per
+    blocks = vals.reshape(n_prim * n_super, per)
+    # indices are 1-based row-major
+    assert (int(blocks[0][0]), int(blocks[0][1])) == (1, 1)
+    assert (int(blocks[-1][0]), int(blocks[-1][1])) == (4, 32)
+    got = blocks[:, 2:].astype(np.float64).reshape(n_prim, n_super, 3, 3)
+    want = np.transpose(np.asarray(fc["fc"]), (0, 2, 1, 3))
+    np.testing.assert_allclose(got, want, atol=1e-12)
