@@ -55,8 +55,12 @@ def main(argv=None):
             "energies": [e / n for e in out["energies"]],
             "kv_ff": out["kv"],
         })
-        print("Formula,DFT,FF", formula,
-              ref_kv.get(path, ref_kv.get(formula, "na")), out["kv"])
+        import os
+
+        base = os.path.splitext(os.path.basename(path))[0]
+        dft = ref_kv.get(base, ref_kv.get(path, ref_kv.get(formula,
+                                                           "na")))
+        print("Formula,DFT,FF", formula, dft, out["kv"])
 
     import matplotlib
 

@@ -202,8 +202,11 @@ def make_train_step_fjvp(model, criterion: str = "l1",
 
         def phi(params):
             vars2 = {"params": params}
-            if new_stats:
-                vars2["batch_stats"] = new_stats
+            if state.batch_stats:
+                # gradient pass sees the PRE-update stats, matching
+                # _forward_and_loss (state.py:104-114); unreachable for
+                # the LayerNorm-only ALIGNNAtomWise, kept consistent
+                vars2["batch_stats"] = state.batch_stats
 
             def f(r):
                 return model.apply(vars2, batch, r, train=True)
