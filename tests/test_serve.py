@@ -83,3 +83,51 @@ def test_ff_guard_and_errors(server):
 
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(server["url"] + "/nope", timeout=30)
+
+
+def test_ff_endpoint_success(tmp_path):
+    """/ff on a saved atomwise model dir: energy/forces/stress JSON."""
+    import jax
+
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.cli.serve import serve
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.train.checkpoint import save_params
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8,
+        gradwise_weight=1.0, stresswise_weight=0.1)
+    model = ALIGNNAtomWise(cfg=cfg)
+    probe = Atoms(lattice_mat=np.eye(3) * 4.0,
+                  frac_coords=[[0, 0, 0], [0.5, 0.5, 0.5]],
+                  elements=["Na", "Cl"])
+    g = build_graph(probe, cutoff=6.0, max_neighbors=12)
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+
+    model_dir = tmp_path / "ffmodel"
+    model_dir.mkdir()
+    (model_dir / "config.json").write_text(json.dumps({
+        "atom_features": "cgcnn",
+        "model": {"name": "alignn_atomwise", "alignn_layers": 1,
+                  "gcn_layers": 1, "hidden_features": 16,
+                  "embedding_features": 8, "gradwise_weight": 1.0,
+                  "stresswise_weight": 0.1}}))
+    save_params(str(model_dir / "best_model.mpk"), variables["params"])
+
+    srv, _svc = serve(str(model_dir), port=0, ff=True, warmup=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        code, out = _post(url + "/ff", {"atoms": _atoms()})
+        assert code == 200
+        assert np.isfinite(out["energy"])
+        assert np.asarray(out["forces"]).shape == (2, 3)
+        assert len(out["stress"]) == 6
+    finally:
+        srv.shutdown()
