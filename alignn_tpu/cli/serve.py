@@ -42,22 +42,78 @@ class ModelService:
         self.atom_features = self.cfg.get("atom_features", "cgcnn")
         self._lock = threading.Lock()  # jax dispatch from one thread
         self._calc = None
+        self._fwd = None            # persistent jitted forward
+        self._spec = None           # monotone bucket floor
         if ff:
             from alignn_tpu.ff.calculator import Calculator
 
             self._calc = Calculator(path=model_dir)
 
+    def _get_fwd(self):
+        """ONE jitted forward for the server's lifetime.
+
+        zoo.predict_structures builds a fresh jit closure per call,
+        which re-traces on every request — fine for one-shot CLIs,
+        wrong for serving."""
+        if self._fwd is None:
+            import jax
+
+            from alignn_tpu.nn.ealignn import (
+                eALIGNNAtomWise,
+                ealignn_forward,
+            )
+            from alignn_tpu.nn.models import (
+                ALIGNNAtomWise,
+                atomwise_forward,
+            )
+
+            if isinstance(self.model, eALIGNNAtomWise):
+                self._fwd = jax.jit(lambda v, b: ealignn_forward(
+                    self.model, v, b, train=False)["out"])
+            elif isinstance(self.model, ALIGNNAtomWise):
+                self._fwd = jax.jit(lambda v, b: atomwise_forward(
+                    self.model, v, b, train=False)["out"])
+            else:
+                self._fwd = jax.jit(lambda v, b: self.model.apply(
+                    v, b, train=False))
+        return self._fwd
+
+    def _merge_spec(self, spec):
+        """Grow the bucket floor monotonically: repeated similar
+        requests reuse the same padded shapes (bounded recompiles)."""
+        from alignn_tpu.graph.batch import BucketSpec
+
+        if self._spec is not None:
+            spec = BucketSpec(
+                n_nodes=max(spec.n_nodes, self._spec.n_nodes),
+                n_edges=max(spec.n_edges, self._spec.n_edges),
+                n_lg_edges=max(spec.n_lg_edges, self._spec.n_lg_edges),
+                n_graphs=max(spec.n_graphs, self._spec.n_graphs),
+                dense_D=spec.dense_D)
+        self._spec = spec
+        return spec
+
     def predict(self, atoms_dicts):
+        import jax
+        import numpy as np
+
         from alignn_tpu.chem.atoms import Atoms
-        from alignn_tpu.zoo import predict_structures
+        from alignn_tpu.data.loader import worst_case_spec
+        from alignn_tpu.graph.batch import batch_graphs
+        from alignn_tpu.graph.build import build_graph
 
         structs = [Atoms.from_dict(d) for d in atoms_dicts]
+        graphs = [build_graph(a, cutoff=self.cutoff,
+                              max_neighbors=self.max_neighbors)
+                  for a in structs]
         with self._lock:
-            out = predict_structures(
-                self.model, self.variables, structs, cutoff=self.cutoff,
-                max_neighbors=self.max_neighbors,
-                atom_features=self.atom_features)
-        return out.tolist()
+            spec = self._merge_spec(
+                worst_case_spec(graphs, len(graphs)))
+            batch = batch_graphs(graphs, spec,
+                                 atom_features=self.atom_features)
+            out = np.asarray(jax.device_get(
+                self._get_fwd()(self.variables, batch)))
+        return out[:len(graphs)].tolist()
 
     def ff(self, atoms_dict):
         if self._calc is None:
