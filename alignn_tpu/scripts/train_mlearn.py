@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Train ALIGNN-FF on the bundled mlearn element datasets.
+
+The reference ships the mlearn force-field benchmark data (Si/Ni/Cu/Ge/
+Li/Mo + combined `all/`) with per-element TrainingConfigs under
+`examples/sample_data_ff/mlearn_data/` and points users at it as THE
+canonical FF-training example (reference README "Machine learning
+force-field training from scratch").  This script runs those exact
+configs through the framework trainer and collects per-element energy/
+force MAEs into one json — the zero-egress accuracy campaign.
+
+    python -m alignn_tpu.scripts.train_mlearn --elements Si,Cu \
+        --output_dir mlearn_out [--override epochs=5 hidden_features=64]
+"""
+
+import argparse
+import json
+import os
+
+MLEARN_ROOT = ("/root/reference/alignn/examples/sample_data_ff/"
+               "mlearn_data")
+ELEMENTS = ["Si", "Ni", "Cu", "Ge", "Li", "Mo", "all"]
+
+
+def train_one(element: str, output_dir: str, data_root: str = MLEARN_ROOT,
+              overrides=None):
+    from alignn_tpu.cli.train import main as train_main
+
+    src = os.path.join(data_root, element)
+    cfg_path = os.path.join(src, "config.json")
+    if overrides:
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        for k, v in overrides.items():
+            if k in cfg.get("model", {}):
+                cfg["model"][k] = v
+            else:
+                cfg[k] = v
+        os.makedirs(output_dir, exist_ok=True)
+        cfg_path = os.path.join(output_dir, f"config_{element}.json")
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
+    out = os.path.join(output_dir, element)
+    train_main(["--root_dir", src, "--config_name", cfg_path,
+                "--output_dir", out, "--target_key", "total_energy"])
+    # harvest test metrics from the artifacts
+    metrics = {"element": element, "output_dir": out}
+    res_path = os.path.join(out, "Test_results.json")
+    if os.path.exists(res_path):
+        import numpy as np
+
+        with open(res_path) as f:
+            rows = json.load(f)
+        e_err, f_err = [], []
+        for r in rows:
+            t, p = np.asarray(r["target"]), np.asarray(r["predictions"])
+            e_err.append(np.abs(t - p).mean())
+            if r.get("target_grad") is not None and \
+                    r.get("pred_grad") is not None:
+                f_err.append(np.abs(np.asarray(r["target_grad"])
+                                    - np.asarray(r["pred_grad"])).mean())
+        metrics["test_energy_mae"] = float(np.mean(e_err))
+        if f_err:
+            metrics["test_force_mae"] = float(np.mean(f_err))
+    return metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--elements", default="Si",
+                   help=f"comma list from {ELEMENTS}")
+    p.add_argument("--data_root", default=MLEARN_ROOT)
+    p.add_argument("--output_dir", default="mlearn_out")
+    p.add_argument("--override", nargs="*", default=[],
+                   help="key=value config overrides (ints/floats "
+                        "auto-cast), e.g. epochs=5 hidden_features=64")
+    args = p.parse_args(argv)
+
+    overrides = {}
+    for kv in args.override:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+
+    results = []
+    for el in args.elements.split(","):
+        m = train_one(el, args.output_dir, args.data_root,
+                      overrides or None)
+        results.append(m)
+        print(json.dumps(m))
+    summary = os.path.join(args.output_dir, "mlearn_summary.json")
+    with open(summary, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"summary": summary, "n": len(results)}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

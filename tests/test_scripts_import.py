@@ -11,7 +11,7 @@ import pytest
 SCRIPTS = [
     "train_all", "early_stopping_checker", "predict_db",
     "plot_ff_results", "plot_phonons_ff", "ev_curve", "graph_viz",
-    "defect", "cubic_mat_relax", "make_test_split_cross_pred",
+    "defect", "cubic_mat_relax", "make_test_split_cross_pred", "train_mlearn",
     "final_model", "compare_cfid", "predict_db_all", "ev_curve_comp",
     "alignn_evac",
 ]
