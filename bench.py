@@ -76,17 +76,23 @@ def main():
     from alignn_tpu.train.optim import build_optimizer
     from alignn_tpu.train.state import create_train_state, make_train_step
 
+    import os
+
+    # batch-size + remat knobs for capacity A/Bs: the b256 compiled step
+    # temps at ~19 GB (> v5e's 16 GB HBM; BENCH_NOTES round 3), so large
+    # batches sit on the HBM-capacity cliff where per-layer remat —
+    # measured slower at b64 — may flip to a win.
+    bench_b = int(os.environ.get("ALIGNN_TPU_BENCH_B", "64"))
     cfg = ALIGNNAtomWiseConfig(
         name="alignn_atomwise", alignn_layers=4, gcn_layers=4,
         hidden_features=256, embedding_features=64,
         gradwise_weight=10.0, stresswise_weight=0.1,
-        graphwise_weight=1.0)
+        graphwise_weight=1.0,
+        remat_layers=bool(os.environ.get("ALIGNN_TPU_BENCH_REMAT")))
     # mixed precision: bf16 matmul/stream dtype, f32 params + f32 MXU
     # accumulation.  Training-loss trajectories match f32 step-for-step
     # on this workload (BENCH_NOTES.md); set ALIGNN_TPU_BENCH_F32=1 to
     # measure the full-f32 path.
-    import os
-
     dtype = None if os.environ.get("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
     model = ALIGNNAtomWise(cfg=cfg, dtype=dtype)
     # batch 64 = the reference's default training batch size.  Default
@@ -97,7 +103,7 @@ def main():
     # super-linear batch growth.  ALIGNN_TPU_BENCH_SPARSE=1 runs the
     # sparse (sorted-segment / Pallas one-hot) path instead.
     dense = not os.environ.get("ALIGNN_TPU_BENCH_SPARSE")
-    batch = build_batch(batch_size=64, dense=dense)
+    batch = build_batch(batch_size=bench_b, dense=dense)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
     if os.environ.get("ALIGNN_TPU_BENCH_FJVP"):
