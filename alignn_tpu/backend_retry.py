@@ -34,6 +34,8 @@ _TRANSIENT_MARKERS = (
 
 
 def is_transient(exc: BaseException) -> bool:
+    if isinstance(exc, ProbesExhausted):
+        return False  # already retried a full cycle — don't multiply
     msg = f"{type(exc).__name__}: {exc}"
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
@@ -68,6 +70,17 @@ def probe_devices():
 
 class BackendHang(RuntimeError):
     """Backend init exceeded the probe deadline (treated as transient)."""
+
+
+class ProbesExhausted(RuntimeError):
+    """A full probe retry cycle failed — do NOT retry again.
+
+    Raised by callers after ``retry_transient(probe_...)`` gives up, so
+    an OUTER retry loop doesn't multiply the (already long) probe
+    schedule: nested retries turned a ~30 min bounded failure into a
+    ~95 min stall in the wedged-tunnel rehearsal (round 3).
+    ``is_transient`` deliberately returns False for it even though the
+    underlying cause is transient; report it with transient=True."""
 
 
 def probe_devices_subprocess(timeout_s: float = 600.0,

@@ -66,11 +66,17 @@ def main():
     # rc=1), and round 3 observed *hung* inits.  A killable subprocess
     # probe bounds each attempt; only then touch the device in-process.
     from alignn_tpu.backend_retry import (
-        probe_devices, probe_devices_subprocess, retry_transient)
+        ProbesExhausted, probe_devices, probe_devices_subprocess,
+        retry_transient)
 
     _log = lambda m: print(f"# bench: {m}", file=sys.stderr)  # noqa: E731
-    retry_transient(probe_devices_subprocess, attempts=3, log=_log)
-    retry_transient(probe_devices, log=_log)
+    try:
+        retry_transient(probe_devices_subprocess, attempts=3, log=_log)
+        retry_transient(probe_devices, log=_log)
+    except Exception as e:  # noqa: BLE001 — the cycle already retried
+        raise ProbesExhausted(
+            f"backend unavailable after full probe retry cycle: "
+            f"{type(e).__name__}: {e}") from e
 
     from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
     from alignn_tpu.train.optim import build_optimizer
@@ -173,10 +179,12 @@ def main():
 
 if __name__ == "__main__":
     try:
-        from alignn_tpu.backend_retry import is_transient, retry_transient
+        from alignn_tpu.backend_retry import (
+            ProbesExhausted, is_transient, retry_transient)
 
-        # Retry the whole workload too: a mid-run transient (post-probe)
-        # restarts main() — compile caches make the retry cheap.
+        # Retry the whole workload for MID-RUN transients (post-probe);
+        # ProbesExhausted is excluded from retry (is_transient: False),
+        # so a dead backend fails once, bounded — not attempts^2 probes.
         retry_transient(main, attempts=3,
                         log=lambda m: print(f"# bench: {m}",
                                             file=sys.stderr))
@@ -187,6 +195,7 @@ if __name__ == "__main__":
             "unit": "edges/s/chip (g + L(g), fwd+bwd incl. force grad)",
             "vs_baseline": None,
             "error": f"{type(e).__name__}: {e}",
-            "transient": is_transient(e),
+            "transient": (is_transient(e)
+                          or isinstance(e, ProbesExhausted)),
         }))
         sys.exit(1)

@@ -85,3 +85,24 @@ def test_probe_subprocess_timeout_raises_transient_hang():
     with pytest.raises(BackendHang) as ei:
         probe_devices_subprocess(timeout_s=0.001)
     assert is_transient(ei.value)
+
+
+def test_probes_exhausted_not_retried():
+    """ProbesExhausted must short-circuit outer retry loops: nested
+    retries turned a bounded ~30 min wedged-tunnel failure into ~95 min
+    (attempts^2 probes) in the round-3 rehearsal."""
+    from alignn_tpu.backend_retry import ProbesExhausted
+
+    e = ProbesExhausted("backend unavailable after full probe retry "
+                        "cycle: BackendHang: UNAVAILABLE: ...")
+    assert not is_transient(e)  # despite the UNAVAILABLE in the message
+
+    calls = []
+
+    def probe_phase():
+        calls.append(1)
+        raise ProbesExhausted("UNAVAILABLE: still down")
+
+    with pytest.raises(ProbesExhausted):
+        retry_transient(probe_phase, attempts=3, backoffs=(0, 0))
+    assert len(calls) == 1
