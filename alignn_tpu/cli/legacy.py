@@ -81,6 +81,9 @@ def main(argv=None):
               file=sys.stderr)
 
     config.progress = args.progress or config.progress
+    # flag-over-config like the reference cli.py kwargs; the trainer's
+    # store_outputs path dumps train/val prediction jsons
+    config.store_outputs = args.store_outputs or config.store_outputs
     # train into the scratch dir, then copy back (cli.py:67-70)
     config.output_dir = args.checkpoint_dir
     os.makedirs(args.checkpoint_dir, exist_ok=True)

@@ -192,11 +192,13 @@ class ForceField:
     def phonons(self, supercell=(2, 2, 2), **kw) -> Dict:
         out = _phonons.phonon_band_structure(self.calc, self.atoms,
                                              supercell=supercell, **kw)
-        dumpjson({k: v for k, v in out.items() if k != "fcdata"},
-                 os.path.join(self.dirname, "phonon_bands.json"))
         if "fcdata" in out:
-            # phonopy-readable fc2 alongside the bands (text format)
+            # phonopy-readable fc2 alongside the bands (text format);
+            # export BEFORE the json dump so phonon_bands.json carries
+            # the path (phonons3 writes fc3_path the same way)
             out["force_constants_path"] = _phonons.export_force_constants(
                 out["fcdata"],
                 os.path.join(self.dirname, "FORCE_CONSTANTS"))
+        dumpjson({k: v for k, v in out.items() if k != "fcdata"},
+                 os.path.join(self.dirname, "phonon_bands.json"))
         return out

@@ -133,8 +133,12 @@ class RingAudit:
             "permutes_transpose": len(bwd),
             "permute_bytes_forward": sum(c.payload_bytes for c in fwd),
             "permute_bytes_transpose": sum(c.payload_bytes for c in bwd),
-            "forward_overlap_capable": all(c.stage_overlap_capable
-                                           for c in fwd),
+            # None (= "no evidence"), never a vacuous True, when the
+            # module contains no forward permutes at all — e.g. a parse
+            # miss would otherwise silently PASS the overlap claim
+            "forward_overlap_capable": (
+                all(c.stage_overlap_capable for c in fwd)
+                if fwd else None),
             "transpose_scatter_chained": [not c.stage_overlap_capable
                                           for c in bwd].count(True),
             "all_reduce_bytes": sum(c.payload_bytes
@@ -204,46 +208,81 @@ def _scatterish(instrs: Dict[str, Instr]) -> Dict[str, bool]:
 
 def _transitive_scatter(instrs: Dict[str, Instr]
                         ) -> Dict[str, frozenset]:
-    """name -> op_names of every scatter in the transitive closure."""
+    """name -> op_names of every scatter in the transitive closure.
+
+    Iterative post-order (explicit stack): the train-shaped 4+4-layer
+    grad-of-grad modules have dependency chains several thousand
+    instructions deep — Python's ~1000-frame recursion limit is a cliff
+    a recursive walk would hit."""
     marks = _scatterish(instrs)
     memo: Dict[str, frozenset] = {}
+    visiting = set()
+    for root in instrs:
+        if root in memo:
+            continue
+        stack = [(root, False)]
+        while stack:
+            name, expanded = stack.pop()
+            if name in memo:
+                continue
+            ins = instrs.get(name)
+            if ins is None:
+                memo[name] = frozenset()
+                continue
+            if not expanded:
+                visiting.add(name)
+                stack.append((name, True))
+                # cycle guard (HLO is a DAG, be safe): a dep already on
+                # the in-progress path contributes nothing extra
+                stack.extend((d, False) for d in ins.deps
+                             if d not in memo and d not in visiting)
+            else:
+                visiting.discard(name)
+                out = set()
+                if marks.get(name, False):
+                    out.add(ins.op_name or name)
+                for d in ins.deps:
+                    out |= memo.get(d, frozenset())
+                memo[name] = frozenset(out)
+    return memo
 
-    def visit(name: str) -> frozenset:
-        if name in memo:
-            return memo[name]
-        memo[name] = frozenset()  # cycle guard (HLO is a DAG, be safe)
-        ins = instrs.get(name)
-        if ins is None:
-            return frozenset()
-        out = set()
-        if marks.get(name, False):
-            out.add(ins.op_name or name)
-        for d in ins.deps:
-            out |= visit(d)
-        memo[name] = frozenset(out)
-        return memo[name]
 
-    return {n: visit(n) for n in instrs}
+_COLLECTIVE_OPCODES = ("collective-permute", "all-reduce", "all-gather",
+                       "reduce-scatter")
 
 
 def audit_collectives(hlo_text: str) -> RingAudit:
-    """Parse + classify every collective in an optimized HLO module."""
+    """Parse + classify every collective in an optimized HLO module.
+
+    Handles both the unsplit opcodes and the async ``*-start``/``*-done``
+    pairs the TPU latency-hiding scheduler emits (the ``-start`` carries
+    the payload; the ``-done`` is skipped to avoid double counting).
+    """
     instrs = parse_instructions(hlo_text)
     scat = _transitive_scatter(instrs)
     audit = RingAudit()
     for name, ins in instrs.items():
-        if ins.opcode not in ("collective-permute", "all-reduce",
-                              "all-gather", "reduce-scatter"):
+        kind = (ins.opcode[:-len("-start")]
+                if ins.opcode.endswith("-start") else ins.opcode)
+        if kind not in _COLLECTIVE_OPCODES:
             continue
+        if ins.opcode.endswith("-start"):
+            # async form: the result type is a (operand, result, ...)
+            # tuple — summing it double-counts; take the operand's bytes
+            op0 = instrs.get(ins.deps[0]) if ins.deps else None
+            payload = shape_bytes(op0.type_str if op0 else ins.type_str)
+        else:
+            payload = shape_bytes(ins.type_str)
         if "transpose(" in ins.op_name:
             phase = "transpose"
-        elif "jvp(" in ins.op_name or ins.op_name:
+        elif ins.op_name:
+            # jvp(...)-wrapped or plain forward-stage metadata
             phase = "forward"
         else:
             phase = "other"
         audit.collectives.append(CollectiveInfo(
-            name=name, kind=ins.opcode,
-            payload_bytes=shape_bytes(ins.type_str),
+            name=name, kind=kind,
+            payload_bytes=payload,
             op_name=ins.op_name, scatter_deps=scat[name],
             phase=phase))
     return audit

@@ -41,30 +41,38 @@ def main(argv=None):
     from alignn_tpu.ff.tasks import generate_vacancies
     from alignn_tpu.zoo import (
         get_figshare_model,
+        graph_kwargs_from_config,
         load_model_dir,
         predict_structures,
     )
 
     if os.path.isdir(args.model):
-        model, variables, _ = load_model_dir(args.model)
+        model, variables, cfg = load_model_dir(args.model)
     else:
-        model, variables, _ = get_figshare_model(args.model)
+        model, variables, cfg = get_figshare_model(args.model)
+    # graph featurization must match the checkpoint's training config
+    gkw = graph_kwargs_from_config(cfg)
     chem_pot = {}
     if args.chem_pot_json:
         with open(args.chem_pot_json) as f:
             chem_pot = json.load(f)
     sc = tuple(int(x) for x in args.supercell.split(","))
 
-    def per_atom_energy(atoms):
-        return float(predict_structures(model, variables, [atoms])[0, 0])
-
     mem = []
     for path in args.files:
         atoms = Atoms.from_file(path)
         bulk = atoms.make_supercell(sc)
-        e_bulk_peratom = per_atom_energy(bulk)
-        for el, vac in generate_vacancies(atoms, supercell=sc):
-            e_def_total = per_atom_energy(vac) * vac.num_atoms
+        vacancies = list(generate_vacancies(atoms, supercell=sc))
+        # ONE bulk-prediction call per file: bulk + every vacancy share
+        # the jit closure and bucket spec (a per-structure call would
+        # recompile per padded shape — minutes each on the remote
+        # compile tunnel)
+        structs = [bulk] + [vac for _, vac in vacancies]
+        e_peratom = predict_structures(model, variables, structs,
+                                       **gkw)[:, 0]
+        e_bulk_peratom = float(e_peratom[0])
+        for (el, vac), e_vac in zip(vacancies, e_peratom[1:]):
+            e_def_total = float(e_vac) * vac.num_atoms
             if el not in chem_pot:
                 print(f"warning: no chem_pot for {el}; using bulk "
                       f"per-atom energy (pass --chem_pot_json)")

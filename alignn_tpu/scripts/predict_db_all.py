@@ -61,6 +61,7 @@ def main(argv=None):
     from alignn_tpu.data.figshare import load_dataset
     from alignn_tpu.zoo import (
         get_figshare_model,
+        graph_kwargs_from_config,
         load_model_dir,
         predict_structures,
     )
@@ -75,19 +76,21 @@ def main(argv=None):
                 else list(DATASET_PROPS))
     for ds in datasets:
         id_tag, props = DATASET_PROPS[ds]
+        # one load per DATASET, not per property — these are
+        # multi-hundred-MB json payloads
+        try:
+            records = load_dataset(ds)
+        except Exception as exp:  # noqa: BLE001 — per-db, like ref
+            print(ds, "load failed:", exp)
+            continue
         for prop in props:
             kind = _pick_kind(prop)
             if kind is None:
                 continue
-            try:
-                records = load_dataset(ds)
-            except Exception as exp:  # noqa: BLE001 — per-db, like ref
-                print(ds, prop, "load failed:", exp)
-                break
             if kind not in models:
                 models[kind] = _load(
                     args.gap_model if kind == "gap" else args.form_model)
-            model, variables, _cfg = models[kind]
+            model, variables, cfg = models[kind]
 
             ids, structs, targets = [], [], []
             for r in records:
@@ -102,7 +105,11 @@ def main(argv=None):
             if not ids:
                 print(ds, prop, "no labeled records")
                 continue
-            preds = predict_structures(model, variables, structs)[:, 0]
+            # graph featurization MUST match the checkpoint's training
+            # config (atom_features width / cutoff / max_neighbors)
+            preds = predict_structures(
+                model, variables, structs,
+                **graph_kwargs_from_config(cfg))[:, 0]
             targets = np.asarray(targets)
             fname = os.path.join(args.output_dir,
                                  f"{ds}_{prop}predictions.csv")

@@ -166,6 +166,25 @@ def load_model_dir(model_dir: str):
     return model, variables, cfg_dict
 
 
+def graph_kwargs_from_config(cfg_dict) -> Dict[str, Any]:
+    """Featurization kwargs for predict_structures, FROM the checkpoint.
+
+    A checkpoint trained with e.g. atom_features="basic" (11-dim) or a
+    non-default cutoff must be fed graphs built the same way — the
+    hard defaults would shape-mismatch the embedding (basic) or silently
+    shift predictions (cutoff/max_neighbors).  Reference parity: the
+    reference rebuilds graphs from the loaded config the same way
+    (pretrained.py:306-329 uses the model's own graph params)."""
+    cfg_dict = cfg_dict or {}
+    return {
+        "cutoff": float(cfg_dict.get("cutoff", 8.0)),
+        "max_neighbors": int(cfg_dict.get("max_neighbors", 12)),
+        "neighbor_strategy": cfg_dict.get("neighbor_strategy",
+                                          "k-nearest"),
+        "atom_features": cfg_dict.get("atom_features", "cgcnn"),
+    }
+
+
 def get_figshare_model(model_name: str = "jv_formation_energy_peratom_alignn",
                        cache_dir: Optional[str] = None):
     """Download (cached) + load a zoo model (reference pretrained.py:243)."""

@@ -14,10 +14,21 @@ host CPU (documented in BENCH_NOTES.md).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def env_on(name: str) -> bool:
+    """Truthy env knob: unset, empty, and '0' all mean OFF.
+
+    bool(os.environ.get(...)) treats '0' as ON, which silently turns a
+    scripted `for v in 0 1` A/B sweep into two identical arms.
+    """
+    return os.environ.get(name, "") not in ("", "0")
+
 
 # edges+line-graph-edges per second, reference-equivalent torch path on
 # this machine's CPU: tools/baseline_torch.py measured 3956 edges/s
@@ -74,15 +85,22 @@ def main():
         retry_transient(probe_devices_subprocess, attempts=3, log=_log)
         retry_transient(probe_devices, log=_log)
     except Exception as e:  # noqa: BLE001 — the cycle already retried
-        raise ProbesExhausted(
-            f"backend unavailable after full probe retry cycle: "
-            f"{type(e).__name__}: {e}") from e
+        from alignn_tpu.backend_retry import is_transient
+
+        # Only a TRANSIENT failure that survived the full cycle counts
+        # as "probes exhausted" (reported transient, worth re-running);
+        # a persistent error (bad plugin, import failure) must propagate
+        # as-is so the error JSON carries transient=false and the driver
+        # doesn't loop on a dead config.
+        if is_transient(e):
+            raise ProbesExhausted(
+                f"backend unavailable after full probe retry cycle: "
+                f"{type(e).__name__}: {e}") from e
+        raise
 
     from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
     from alignn_tpu.train.optim import build_optimizer
     from alignn_tpu.train.state import create_train_state, make_train_step
-
-    import os
 
     # batch-size + remat knobs for capacity A/Bs: the b256 compiled step
     # temps at ~19 GB (> v5e's 16 GB HBM; BENCH_NOTES round 3), so large
@@ -94,12 +112,12 @@ def main():
         hidden_features=256, embedding_features=64,
         gradwise_weight=10.0, stresswise_weight=0.1,
         graphwise_weight=1.0,
-        remat_layers=bool(os.environ.get("ALIGNN_TPU_BENCH_REMAT")))
+        remat_layers=env_on("ALIGNN_TPU_BENCH_REMAT"))
     # mixed precision: bf16 matmul/stream dtype, f32 params + f32 MXU
     # accumulation.  Training-loss trajectories match f32 step-for-step
     # on this workload (BENCH_NOTES.md); set ALIGNN_TPU_BENCH_F32=1 to
     # measure the full-f32 path.
-    dtype = None if os.environ.get("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
+    dtype = None if env_on("ALIGNN_TPU_BENCH_F32") else jnp.bfloat16
     model = ALIGNNAtomWise(cfg=cfg, dtype=dtype)
     # batch 64 = the reference's default training batch size.  Default
     # execution layout is dense neighborhoods (graph/dense.py): the
@@ -108,11 +126,11 @@ def main():
     # — the dense layout removes the L-stage gathers and tames the
     # super-linear batch growth.  ALIGNN_TPU_BENCH_SPARSE=1 runs the
     # sparse (sorted-segment / Pallas one-hot) path instead.
-    dense = not os.environ.get("ALIGNN_TPU_BENCH_SPARSE")
+    dense = not env_on("ALIGNN_TPU_BENCH_SPARSE")
     batch = build_batch(batch_size=bench_b, dense=dense)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
-    if os.environ.get("ALIGNN_TPU_BENCH_FJVP"):
+    if env_on("ALIGNN_TPU_BENCH_FJVP"):
         # forward-over-reverse research step — measured SLOWER (+19%
         # flops; train/fjvp.py docstring + BENCH_NOTES round 3); flag
         # kept for device A/B verification. Requires the XLA path
