@@ -293,6 +293,67 @@ def test_pair_kernel_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pair_bwd_first_class_pin(monkeypatch):
+    """pair_aggregate_bwd (the backward-as-a-first-class op) and its
+    hand-derived second-order rule, pinned against jax.vjp with random
+    cotangents on EVERY output — the grad-of-grad test above only
+    drives the u (dm2) cotangent; here v (dbh) and the g-input
+    cotangent paths are exercised too.  The opt-in Pallas twins
+    (ALIGNN_TPU_PAIR_BWD_KERNEL=1) run in interpret mode."""
+    monkeypatch.setenv("ALIGNN_TPU_PAIR_BWD_KERNEL", "1")
+    from alignn_tpu.ops.pallas_dense import (
+        C_NODES,
+        _pallas_pair_bwd2,
+        _xla_pair_aggregate,
+        _xla_pair_bwd,
+        _xla_pair_bwd2,
+        pair_aggregate_bwd,
+    )
+
+    rng = np.random.default_rng(7)
+    n, D, F = C_NODES, 3, 128
+    m2 = jnp.asarray(rng.standard_normal((n * D * D, F)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((n * D, F)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n * D, F)), jnp.float32)
+
+    # first order: both routes == jax.vjp of the XLA forward
+    _, vjp = jax.vjp(lambda a, b: _xla_pair_aggregate(a, b, D), m2, bh)
+    dm2_ref, dbh_ref = vjp(g)
+    for use_pallas in (False, True):
+        dm2, dbh = pair_aggregate_bwd(m2, bh, g, D, use_pallas)
+        np.testing.assert_allclose(np.asarray(dm2), np.asarray(dm2_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dbh), np.asarray(dbh_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    # second order: hand-derived rule == jax.vjp of the first-order
+    # backward, random cotangents on BOTH outputs
+    u = jnp.asarray(rng.standard_normal((n * D * D, F)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n * D, F)), jnp.float32)
+    _, vjp2 = jax.vjp(lambda a, b, c: _xla_pair_bwd(a, b, c, D),
+                      m2, bh, g)
+    refs = vjp2((u, v))
+    for impl in (_xla_pair_bwd2,
+                 lambda *args: _pallas_pair_bwd2(*args[:5], args[5])):
+        outs = impl(m2, bh, g, u, v, D)
+        for got, ref in zip(outs, refs):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5)
+
+    # the custom-vjp wiring end-to-end: grad through pair_aggregate_bwd
+    # with a loss that touches dm2, dbh AND flows back into g
+    def loss(m2v, bhv, gv, use_pallas):
+        dm2, dbh = pair_aggregate_bwd(m2v, bhv, gv, D, use_pallas)
+        return (jnp.sum(dm2 * u) + jnp.sum(dbh * v)
+                + jnp.sum(dbh ** 2))
+
+    gref = jax.grad(loss, argnums=(0, 1, 2))(m2, bh, g, False)
+    gpal = jax.grad(loss, argnums=(0, 1, 2))(m2, bh, g, True)
+    for a, b in zip(gpal, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_dense_property_model_matches_sparse():
     """The BatchNorm property model (ALIGNN) on dense == sparse."""
     from alignn_tpu.nn.models import ALIGNN, ALIGNNConfig
