@@ -112,34 +112,115 @@ def dense_gated_aggregate(m, bh, D: int, use_pallas: bool = True):
 
 def _fwd(m, bh, D, use_pallas):
     h = dense_gated_aggregate(m, bh, D, use_pallas)
-    return h, (m, bh, h)
+    return h, (m, bh)
 
 
 def _bwd(D, use_pallas, res, g):
-    """Elementwise/broadcast/reduce backward (differentiable residuals).
-
-    den is recomputed (a residual must stay a differentiable function of
-    the primals for grad-of-grad force training); sigma recompute is
-    automatically masked because m arrives mask-folded.
-    """
-    m, bh, h = res
-    f = m.shape[-1]
-    sig = jax.nn.sigmoid(m.astype(jnp.float32))
-    den = sig.reshape(-1, D, f).sum(axis=1) + EPS
-    g32 = g.astype(jnp.float32)
-    ginv = g32 / den                                  # [M, F]
-    gh = -g32 * h.astype(jnp.float32) / den           # [M, F] dL/dden
-    ginv_e = jnp.broadcast_to(
-        ginv[:, None, :], (ginv.shape[0], D, f)).reshape(-1, f)
-    gh_e = jnp.broadcast_to(
-        gh[:, None, :], (gh.shape[0], D, f)).reshape(-1, f)
-    dbh = (sig * ginv_e).astype(bh.dtype)
-    dsig = bh.astype(jnp.float32) * ginv_e + gh_e
-    dm = (sig * (1.0 - sig) * dsig).astype(m.dtype)
+    """Routes through gated_aggregate_bwd — a first-class op so the
+    outer E/F/S gradient differentiates it via the hand-derived
+    second-order rule below (the t-collapsed twin of the pair-stage
+    rule that measured +3.6% full-step — BENCH_NOTES round 3 "pair
+    backward as a first-class op"; this covers the node/GCN stages)."""
+    m, bh = res
+    dm, dbh = gated_aggregate_bwd(m, bh, g, D)
     return dm, dbh
 
 
 dense_gated_aggregate.defvjp(_fwd, _bwd)
+
+
+def _expand(x, D: int):
+    """[M, F] -> [M*D, F] row broadcast (D-block layout)."""
+    M, f = x.shape
+    return jnp.broadcast_to(x[:, None, :], (M, D, f)).reshape(-1, f)
+
+
+def _xla_gated_bwd(m, bh, g, D: int):
+    """First-order backward (recomputes den/h from primals so the
+    residuals stay differentiable functions of the primals — required
+    by grad-of-grad force training; sigma recompute is automatically
+    masked because m arrives mask-folded)."""
+    f = m.shape[-1]
+    sig = jax.nn.sigmoid(m.astype(jnp.float32))
+    bh32 = bh.astype(jnp.float32)
+    den = sig.reshape(-1, D, f).sum(axis=1) + EPS     # [M, F]
+    h = (sig * bh32).reshape(-1, D, f).sum(axis=1) / den
+    g32 = g.astype(jnp.float32)
+    ginv_e = _expand(g32 / den, D)                    # [M*D, F]
+    gh_e = _expand(-g32 * h / den, D)                 # dL/dden route
+    dbh = (sig * ginv_e).astype(bh.dtype)
+    dm = (sig * (1.0 - sig) * (bh32 * ginv_e + gh_e)).astype(m.dtype)
+    return dm, dbh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gated_aggregate_bwd(m, bh, g, D: int):
+    """(dm, dbh) = VJP of dense_gated_aggregate at (m, bh) with
+    cotangent g — first-class because force training executes it in
+    the forward pass (forces = -dE/dr) and the outer E/F/S gradient
+    differentiates through it.  Second order via the hand-derived rule
+    below, which shares the row reductions (A, Bq, C) across all three
+    cotangents — the same restructuring that won +3.6% on the L-stage
+    (pair_aggregate_bwd); here it covers the 8 node/GCN aggregation
+    sites of the 4+4 recipe (~7x less traffic than the L-stage, so the
+    expected win is fractional — measured A/B in BENCH_NOTES)."""
+    return _xla_gated_bwd(m, bh, g, D)
+
+
+def _xla_gated_bwd2(m, bh, g, u, v, D: int):
+    """Hand-derived VJP of (m, bh, g) -> (dm, dbh) with cotangents
+    (u, v); pinned against jax.vjp(_xla_gated_bwd) in tests.
+
+    The t-collapsed specialization of _xla_pair_bwd2's formula: with
+    sig' = sig(1-sig), sig'' = sig'(1-2 sig), den = sum_s sig + eps,
+    h = num/den, ginv = g/den, gh = -g h/den, k = -g/den^2, and row
+    reductions A = sum_s u sig', Bq = sum_s u sig' bh, C = sum_s v sig:
+
+      c_g    = (Bq - h A + C) / den
+      c_bh_s = u sig' ginv + sig k A
+      c_m_s  = u sig'' (bh ginv + gh)
+               + sig' [ k (Bq - 2 h A + bh A + C) + v ginv ]
+    """
+    f = m.shape[-1]
+    sig = jax.nn.sigmoid(m.astype(jnp.float32))
+    sigp = sig * (1.0 - sig)
+    sigpp = sigp * (1.0 - 2.0 * sig)
+    bh32 = bh.astype(jnp.float32)
+    u32 = u.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    den = sig.reshape(-1, D, f).sum(axis=1) + EPS     # [M, F]
+    h = (sig * bh32).reshape(-1, D, f).sum(axis=1) / den
+    g32 = g.astype(jnp.float32)
+    ginv = g32 / den
+    gh = -g32 * h / den
+    k = -g32 / (den * den)
+    a = (u32 * sigp).reshape(-1, D, f).sum(axis=1)    # [M, F]
+    bq = (u32 * sigp * bh32).reshape(-1, D, f).sum(axis=1)
+    cc = (v32 * sig).reshape(-1, D, f).sum(axis=1)
+    c_g = ((bq - h * a + cc) / den).astype(g.dtype)
+    ginv_e = _expand(ginv, D)
+    gh_e = _expand(gh, D)
+    k_e = _expand(k, D)
+    a_e = _expand(a, D)
+    c_bh = (u32 * sigp * ginv_e + sig * _expand(k * a, D)).astype(bh.dtype)
+    c_m = (u32 * sigpp * (bh32 * ginv_e + gh_e)
+           + sigp * (k_e * (_expand(bq - 2.0 * h * a + cc, D)
+                            + bh32 * a_e)
+                     + v32 * ginv_e)).astype(m.dtype)
+    return c_m, c_bh, c_g
+
+
+def _gated_bwd_fwd(m, bh, g, D):
+    return gated_aggregate_bwd(m, bh, g, D), (m, bh, g)
+
+
+def _gated_bwd_bwd(D, res, cot):
+    m, bh, g = res
+    u, v = cot
+    return _xla_gated_bwd2(m, bh, g, u, v, D)
+
+
+gated_aggregate_bwd.defvjp(_gated_bwd_fwd, _gated_bwd_bwd)
 
 
 # ---------------------------------------------------------------------------

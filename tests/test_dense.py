@@ -354,6 +354,65 @@ def test_pair_bwd_first_class_pin(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_gated_bwd_first_class_pin():
+    """gated_aggregate_bwd (node/GCN-stage backward-as-a-first-class
+    op) and its hand-derived second-order rule, pinned against jax.vjp
+    with random cotangents on EVERY output — the grad-of-grad test
+    above only drives the u (dm) cotangent; here v (dbh) and the
+    g-input cotangent paths are exercised too (the t-collapsed twin of
+    test_pair_bwd_first_class_pin)."""
+    from alignn_tpu.ops.pallas_dense import (
+        _xla_dense_aggregate,
+        _xla_gated_bwd,
+        _xla_gated_bwd2,
+        gated_aggregate_bwd,
+    )
+
+    rng = np.random.default_rng(11)
+    M, D, F = 64, 5, 128
+    m = jnp.asarray(rng.standard_normal((M * D, F)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((M * D, F)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((M, F)), jnp.float32)
+
+    # first order == jax.vjp of the XLA forward
+    _, vjp = jax.vjp(lambda a, b: _xla_dense_aggregate(a, b, D), m, bh)
+    dm_ref, dbh_ref = vjp(g)
+    dm, dbh = gated_aggregate_bwd(m, bh, g, D)
+    np.testing.assert_allclose(np.asarray(dm), np.asarray(dm_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dbh), np.asarray(dbh_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # second order: hand-derived rule == jax.vjp of the first-order
+    # backward, random cotangents on BOTH outputs
+    u = jnp.asarray(rng.standard_normal((M * D, F)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((M * D, F)), jnp.float32)
+    _, vjp2 = jax.vjp(lambda a, b, c: _xla_gated_bwd(a, b, c, D),
+                      m, bh, g)
+    refs = vjp2((u, v))
+    outs = _xla_gated_bwd2(m, bh, g, u, v, D)
+    for got, ref in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    # the custom-vjp wiring end-to-end: grad through gated_aggregate_bwd
+    # with a loss that touches dm, dbh AND flows back into g
+    def loss(mv, bhv, gv):
+        dmv, dbhv = gated_aggregate_bwd(mv, bhv, gv, D)
+        return jnp.sum(dmv * u) + jnp.sum(dbhv * v) + jnp.sum(dbhv ** 2)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(m, bh, g)
+
+    def loss_ref(mv, bhv, gv):
+        dmv, dbhv = _xla_gated_bwd(mv, bhv, gv, D)
+        return jnp.sum(dmv * u) + jnp.sum(dbhv * v) + jnp.sum(dbhv ** 2)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(m, bh, g)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_dense_property_model_matches_sparse():
     """The BatchNorm property model (ALIGNN) on dense == sparse."""
     from alignn_tpu.nn.models import ALIGNN, ALIGNNConfig
