@@ -22,11 +22,42 @@ MLEARN_ROOT = ("/root/reference/alignn/examples/sample_data_ff/"
 ELEMENTS = ["Si", "Ni", "Cu", "Ge", "Li", "Mo", "all"]
 
 
+def prepare_all(output_dir: str, data_root: str = MLEARN_ROOT) -> str:
+    """Synthesize the combined `all` dataset folder.
+
+    The reference's `all/prepare_mlearn.py` downloads the same six
+    per-element mlearn payloads that are already bundled per-element
+    and concatenates them (its config_example.json splits 1402/164/164
+    = 1730 rows, exactly the sum of the six sets) — so the zero-egress
+    equivalent is to concatenate the bundled id_prop.json files with
+    element-prefixed jids (the reference uses "Si-1" style ids)."""
+    dst = os.path.join(output_dir, "all_data")
+    os.makedirs(dst, exist_ok=True)
+    rows = []
+    for el in ELEMENTS[:-1]:
+        with open(os.path.join(data_root, el, "id_prop.json")) as f:
+            for r in json.load(f):
+                r = dict(r)
+                r["jid"] = f"{el}-{r['jid']}"
+                rows.append(r)
+    with open(os.path.join(dst, "id_prop.json"), "w") as f:
+        json.dump(rows, f)
+    with open(os.path.join(data_root, "all", "config_example.json")) as f:
+        cfg = json.load(f)
+    cfg["output_dir"] = "./"
+    with open(os.path.join(dst, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return dst
+
+
 def train_one(element: str, output_dir: str, data_root: str = MLEARN_ROOT,
               overrides=None):
     from alignn_tpu.cli.train import main as train_main
 
-    src = os.path.join(data_root, element)
+    if element == "all":
+        src = prepare_all(output_dir, data_root)
+    else:
+        src = os.path.join(data_root, element)
     cfg_path = os.path.join(src, "config.json")
     if overrides:
         with open(cfg_path) as f:
