@@ -39,3 +39,25 @@ def test_plot_ff_training_smoke(tmp_path):
     assert (tmp_path / "parity.png").exists()
     plot_learning_curve(str(tmp_path), plot_train=True)
     assert (tmp_path / "learning_curve.png").exists()
+
+
+def test_mlearn_prepare_all(tmp_path):
+    """The synthesized `all` folder is the exact concatenation the
+    reference's all-config expects: 1730 rows (= its 1402/164/164
+    split), unique element-prefixed jids, FF keys intact."""
+    import json
+    import os
+
+    from alignn_tpu.scripts.train_mlearn import MLEARN_ROOT, prepare_all
+
+    if not os.path.isdir(MLEARN_ROOT):
+        pytest.skip("bundled mlearn data unavailable")
+    dst = prepare_all(str(tmp_path))
+    rows = json.loads((tmp_path / "all_data" / "id_prop.json").read_text())
+    cfg = json.loads((tmp_path / "all_data" / "config.json").read_text())
+    assert len(rows) == cfg["n_train"] + cfg["n_val"] + cfg["n_test"] == 1730
+    jids = [r["jid"] for r in rows]
+    assert len(set(jids)) == len(jids)
+    assert jids[0].startswith("Si-")
+    assert {"atoms", "total_energy", "forces", "stresses"} <= set(rows[0])
+    assert dst == str(tmp_path / "all_data")
