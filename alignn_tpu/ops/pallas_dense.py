@@ -110,19 +110,44 @@ def dense_gated_aggregate(m, bh, D: int, use_pallas: bool = True):
     return _xla_dense_aggregate(m, bh, D)
 
 
+def _gated_bwd_op_enabled() -> bool:
+    # The first-class node-stage backward is OPT-IN: unlike the
+    # pair-stage twin (+3.6%), it measured a consistent -0.9% on the
+    # full b64 train step (1.786M vs 1.803M edges/s, interleaved 2x2
+    # device A/B — BENCH_NOTES round 3 "node-stage backward") — the
+    # op's den/h recompute costs an extra pass over [M*D, F] that the
+    # pair stage amortizes over D^2 rows, and autodiff's residual
+    # sharing is already optimal at this traffic scale.
+    import os
+
+    return os.environ.get("ALIGNN_TPU_GATED_BWD_OP", "") not in ("", "0")
+
+
 def _fwd(m, bh, D, use_pallas):
     h = dense_gated_aggregate(m, bh, D, use_pallas)
-    return h, (m, bh)
+    return h, (m, bh, h)
 
 
 def _bwd(D, use_pallas, res, g):
-    """Routes through gated_aggregate_bwd — a first-class op so the
-    outer E/F/S gradient differentiates it via the hand-derived
-    second-order rule below (the t-collapsed twin of the pair-stage
-    rule that measured +3.6% full-step — BENCH_NOTES round 3 "pair
-    backward as a first-class op"; this covers the node/GCN stages)."""
-    m, bh = res
-    dm, dbh = gated_aggregate_bwd(m, bh, g, D)
+    """Elementwise/broadcast/reduce backward (differentiable residuals).
+
+    den is recomputed (a residual must stay a differentiable function of
+    the primals for grad-of-grad force training); sigma recompute is
+    automatically masked because m arrives mask-folded.  The opt-in
+    route (see _gated_bwd_op_enabled) goes through the first-class
+    gated_aggregate_bwd op instead."""
+    m, bh, h = res
+    if _gated_bwd_op_enabled():
+        return gated_aggregate_bwd(m, bh, g, D)
+    f = m.shape[-1]
+    sig = jax.nn.sigmoid(m.astype(jnp.float32))
+    den = sig.reshape(-1, D, f).sum(axis=1) + EPS
+    g32 = g.astype(jnp.float32)
+    ginv_e = _expand(g32 / den, D)
+    gh_e = _expand(-g32 * h.astype(jnp.float32) / den, D)   # dL/dden
+    dbh = (sig * ginv_e).astype(bh.dtype)
+    dm = (sig * (1.0 - sig)
+          * (bh.astype(jnp.float32) * ginv_e + gh_e)).astype(m.dtype)
     return dm, dbh
 
 
@@ -156,14 +181,12 @@ def _xla_gated_bwd(m, bh, g, D: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def gated_aggregate_bwd(m, bh, g, D: int):
     """(dm, dbh) = VJP of dense_gated_aggregate at (m, bh) with
-    cotangent g — first-class because force training executes it in
-    the forward pass (forces = -dE/dr) and the outer E/F/S gradient
-    differentiates through it.  Second order via the hand-derived rule
-    below, which shares the row reductions (A, Bq, C) across all three
-    cotangents — the same restructuring that won +3.6% on the L-stage
-    (pair_aggregate_bwd); here it covers the 8 node/GCN aggregation
-    sites of the 4+4 recipe (~7x less traffic than the L-stage, so the
-    expected win is fractional — measured A/B in BENCH_NOTES)."""
+    cotangent g, differentiable once more via the hand-derived rule
+    below (the t-collapsed twin of pair_aggregate_bwd's, sharing the
+    A/Bq/C row reductions across all three cotangents).  OPT-IN via
+    ALIGNN_TPU_GATED_BWD_OP=1: on the node/GCN stages this measured an
+    honest -0.9% (vs the pair stage's +3.6%) — see
+    _gated_bwd_op_enabled for the mechanism."""
     return _xla_gated_bwd(m, bh, g, D)
 
 

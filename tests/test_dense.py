@@ -354,7 +354,7 @@ def test_pair_bwd_first_class_pin(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_gated_bwd_first_class_pin():
+def test_gated_bwd_first_class_pin(monkeypatch):
     """gated_aggregate_bwd (node/GCN-stage backward-as-a-first-class
     op) and its hand-derived second-order rule, pinned against jax.vjp
     with random cotangents on EVERY output — the grad-of-grad test
@@ -411,6 +411,24 @@ def test_gated_bwd_first_class_pin():
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+    # the opt-in routing (ALIGNN_TPU_GATED_BWD_OP=1) is equivalent to
+    # the default inline backward through grad-of-grad of the public op
+    from alignn_tpu.ops.pallas_dense import dense_gated_aggregate
+
+    def gg(mv):
+        gfn = jax.grad(
+            lambda mm: jnp.sum(dense_gated_aggregate(mm, bh, D, False)))
+        return jnp.sum(gfn(mv) ** 2)
+
+    monkeypatch.setenv("ALIGNN_TPU_GATED_BWD_OP", "0")
+    ref_gg = jax.grad(gg)(m)
+    monkeypatch.setenv("ALIGNN_TPU_GATED_BWD_OP", "1")
+    jax.clear_caches()
+    opt_gg = jax.grad(gg)(m)
+    jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(opt_gg), np.asarray(ref_gg),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_dense_property_model_matches_sparse():
