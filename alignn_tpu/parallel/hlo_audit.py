@@ -95,10 +95,17 @@ class CollectiveInfo:
         i's aggregated output); what decides whether the ring pipeline
         of one L-stage can overlap comm with its local segment sums is
         within-stage independence only."""
-        # compare module-relative stages: strip the jvp/transpose prefix
+        # compare module-relative stages: strip the jvp/transpose
+        # prefix and anchor on a path-component boundary (a bare
+        # substring test would call Conv_1 a dep-stage of Conv_10)
         own = _strip_ad_prefix(self.stage)
-        return not any(own and own in _strip_ad_prefix(s)
-                       for s in self.scatter_deps)
+        if not own:
+            return not self.scatter_deps
+        return not any(
+            (dep := _strip_ad_prefix(s)) == own
+            or dep.startswith(own + "/")
+            or (own + "/") in dep
+            for s in self.scatter_deps)
 
 
 def _strip_ad_prefix(op_name: str) -> str:

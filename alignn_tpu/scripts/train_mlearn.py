@@ -82,17 +82,24 @@ def train_one(element: str, output_dir: str, data_root: str = MLEARN_ROOT,
 
         with open(res_path) as f:
             rows = json.load(f)
+        # Pool per-atom force components across ALL structures before
+        # the single mean (the reference evaluates sklearn MAE over
+        # concatenated arrays — a per-structure mean-of-means would
+        # weight an 8-atom and a 108-atom cell equally).
         e_err, f_err = [], []
         for r in rows:
             t, p = np.asarray(r["target"]), np.asarray(r["predictions"])
-            e_err.append(np.abs(t - p).mean())
+            e_err.append(np.abs(t - p).ravel())
             if r.get("target_grad") is not None and \
                     r.get("pred_grad") is not None:
                 f_err.append(np.abs(np.asarray(r["target_grad"])
-                                    - np.asarray(r["pred_grad"])).mean())
-        metrics["test_energy_mae"] = float(np.mean(e_err))
+                                    - np.asarray(r["pred_grad"])).ravel())
+        if e_err:
+            metrics["test_energy_mae"] = float(
+                np.mean(np.concatenate(e_err)))
         if f_err:
-            metrics["test_force_mae"] = float(np.mean(f_err))
+            metrics["test_force_mae"] = float(
+                np.mean(np.concatenate(f_err)))
     return metrics
 
 

@@ -132,3 +132,33 @@ def test_shape_bytes_parser():
     assert shape_bytes("bf16[8,128]") == 8 * 128 * 2
     assert shape_bytes("(f32[4], s32[2])") == 16 + 8
     assert shape_bytes("f32[]") == 4
+
+
+def test_stage_overlap_component_anchoring():
+    """Stage comparison anchors on path components: Conv_1 is NOT a
+    stage-prefix of Conv_10 (flax index collision), while true own-stage
+    and nested-own-stage scatter deps still chain."""
+    from alignn_tpu.parallel.hlo_audit import CollectiveInfo
+
+    def ci(stage, deps):
+        return CollectiveInfo(
+            name="cp", kind="collective-permute", payload_bytes=0,
+            op_name=stage + "/ppermute",
+            scatter_deps=frozenset(deps))
+
+    base = "jit(f)/jvp(M)/ALIGNNConv_1"
+    # sibling with a shared name prefix: capable
+    assert ci(base, {"jit(f)/jvp(M)/ALIGNNConv_10/scatter-add"}
+              ).stage_overlap_capable
+    # genuinely own-stage scatter (direct and nested): chained
+    assert not ci(base, {"jit(f)/jvp(M)/ALIGNNConv_1/scatter-add"}
+                  ).stage_overlap_capable
+    assert not ci(base, {"jit(f)/jvp(M)/ALIGNNConv_1/seg/scatter"}
+                  ).stage_overlap_capable
+    # transpose instance of the same module stage: chained
+    assert not ci("jit(f)/transpose(jvp(M))/ALIGNNConv_1",
+                  {"jit(f)/jvp(M)/ALIGNNConv_1/scatter"}
+                  ).stage_overlap_capable
+    # unrelated stage: capable
+    assert ci(base, {"jit(f)/jvp(M)/EdgeGated_2/scatter"}
+              ).stage_overlap_capable

@@ -47,7 +47,12 @@ Usage:
 
 import argparse
 import json
+import os
+import sys
 
+# allow bare `python tools/ici_projection.py` (sys.path[0] is tools/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 GB = 1e9
 
@@ -57,9 +62,12 @@ def analytic_bytes(d, e_pad, n_nodes, n_graphs, hidden, alignn_layers,
     """Per-chip wire bytes per train step (fwd+bwd) for the GP mode.
 
     buf_bytes: ring payload dtype (bf16 operands on TPU = 2)."""
-    shard = e_pad // d
-    ring_fwd = alignn_layers * (d - 1) * shard * 2 * hidden * buf_bytes \
-        + (d - 1) * shard * 3 * 4                      # cosine ring (f32)
+    from alignn_tpu.parallel.hlo_audit import expected_ring_bytes
+
+    # ring terms from the test-pinned model (tests/test_ring_overlap.py)
+    ring_fwd = expected_ring_bytes(
+        d, e_pad, hidden, dtype_bytes=buf_bytes,
+        alignn_layers=alignn_layers)["forward_total"]
     ring_bwd = ring_fwd                                # transpose mirrors
     # node-stage psums: packed [N, 2F] (num+den) f32 per EGGC node
     # update, fwd + bwd (payload audited: 17 all-reduces / 21.0 MB at
@@ -90,15 +98,42 @@ def project(d, t1_s, wire, bw_gbps, fwd_frac=0.143, overlap=True):
             "efficiency": t_comp / t_step}
 
 
-def build_recipe_counts(n_graphs):
-    """Edge/node counts of the bench recipe batch (host-side only)."""
+def build_recipe_batch(n_graphs):
+    """The bench recipe batch + its edge/node counts (built ONCE in
+    main and passed to every audit — the k-NN build is seconds)."""
     from tools.gp_sweep import build_batch
 
     batch = build_batch(n_graphs)
-    return {"e_pad": int(batch.src.shape[0]),
-            "l_pad": int(batch.lg_src.shape[0]),
-            "n_nodes": int(batch.z.shape[0]),
-            "n_graphs": int(batch.graph_mask.shape[0])}
+    counts = {"e_pad": int(batch.src.shape[0]),
+              "l_pad": int(batch.lg_src.shape[0]),
+              "n_nodes": int(batch.z.shape[0]),
+              "n_graphs": int(batch.graph_mask.shape[0])}
+    return batch, counts
+
+
+def _gp_compiled_text(mesh, cfg, variables, batch, ring, d):
+    """Lower + compile the GP per-device module on `mesh` and return
+    the executable text (shared by the CPU byte audit and the AOT TPU
+    schedule audit — one copy of the lowering recipe)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from alignn_tpu.parallel.graph_parallel import (
+        GRAPH_AXIS, batch_specs, gp_device_outputs, ring_specs)
+    from alignn_tpu.parallel.gp_model import GPALIGNNAtomWise
+
+    gpm = GPALIGNNAtomWise(cfg=cfg, axis_name=GRAPH_AXIS)
+
+    def per_device(b, rg):
+        o, f, s, _ = gp_device_outputs(gpm, cfg, variables, b, rg, d)
+        return o, f, s
+
+    return jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(batch_specs(batch), ring_specs(ring)),
+        out_specs=(P(), P(), P()), check_rep=False)
+    ).lower(batch, ring).compile().as_text()
 
 
 def main():
@@ -127,7 +162,7 @@ def main():
                         "the TPU plugin, not real chips)")
     args = p.parse_args()
 
-    counts = build_recipe_counts(args.graphs)
+    batch, counts = build_recipe_batch(args.graphs)
     edges = counts["e_pad"] + counts["l_pad"]
     t1 = edges / args.rate
     print(json.dumps({"recipe": counts, "t1_ms": round(t1 * 1e3, 2),
@@ -150,13 +185,16 @@ def main():
     for row in rows:
         print(json.dumps(row))
 
-    # headline: the target claim with assumptions met
+    # headline: the target claim with assumptions met (select by key —
+    # positional indexing would silently swap on a loop-order change)
     v5p8 = [r for r in rows if r["platform"] == "v5p"
             and r["devices"] == 8]
     print(json.dumps({
         "claim": ">=80% GP scaling efficiency at D=8 on v5p",
-        "projected_overlapped": v5p8[0]["efficiency"],
-        "projected_serialized": v5p8[1]["efficiency"],
+        "projected_overlapped": next(
+            r["efficiency"] for r in v5p8 if r["overlap"]),
+        "projected_serialized": next(
+            r["efficiency"] for r in v5p8 if not r["overlap"]),
         "assumptions": [
             "single-chip anchor 44.2 ms / 1.7M edges/s (device-measured)",
             "ring rides ONE v5p torus axis at 90 GB/s/dir",
@@ -166,55 +204,42 @@ def main():
     }))
 
     if args.audit:
-        _audit(counts, args)
+        _audit(batch, counts, args)
     if args.dp:
         _dp_projection(args, t1)
     if args.tpu_topology:
-        _tpu_schedule_audit(counts, args)
+        _tpu_schedule_audit(batch, counts, args)
 
 
-def _audit(counts, args):
+def _gp_cfg(args):
+    from alignn_tpu.nn.models import ALIGNNAtomWiseConfig
+
+    return ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=args.alignn_layers,
+        gcn_layers=args.gcn_layers, hidden_features=args.hidden,
+        embedding_features=64, gradwise_weight=1.0, stresswise_weight=0.1)
+
+
+def _audit(batch, counts, args):
     """Exact-HLO cross-check of the analytic ring bytes at D=8 (CPU)."""
-    import jax
-    from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
-
-    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.nn.models import ALIGNNAtomWise
     from alignn_tpu.parallel.gp_batch import make_ring_index
-    from alignn_tpu.parallel.graph_parallel import (
-        GRAPH_AXIS, batch_specs, check_divisible, gp_device_outputs,
-        ring_specs)
-    from alignn_tpu.parallel.gp_model import GPALIGNNAtomWise
+    from alignn_tpu.parallel.graph_parallel import (GRAPH_AXIS,
+                                                    check_divisible)
     from alignn_tpu.parallel.hlo_audit import audit_collectives
     from alignn_tpu.parallel.mesh import make_mesh
     from alignn_tpu.train.optim import build_optimizer
     from alignn_tpu.train.state import create_train_state
-    from tools.gp_sweep import build_batch
 
     d = 8
-    batch = build_batch(args.graphs)
     check_divisible(batch, d)
-    cfg = ALIGNNAtomWiseConfig(
-        name="alignn_atomwise", alignn_layers=args.alignn_layers,
-        gcn_layers=args.gcn_layers, hidden_features=args.hidden,
-        embedding_features=64, gradwise_weight=1.0, stresswise_weight=0.1)
+    cfg = _gp_cfg(args)
     model = ALIGNNAtomWise(cfg=cfg)
     state = create_train_state(model, batch,
                                build_optimizer("adamw", 1e-3, 0.0))
-    gpm = GPALIGNNAtomWise(cfg=cfg, axis_name=GRAPH_AXIS)
     ring = make_ring_index(batch, d)
     mesh = make_mesh(d, axis_names=(GRAPH_AXIS,))
-
-    def per_device(b, rg):
-        o, f, s, _ = gp_device_outputs(gpm, cfg, state.variables(), b,
-                                       rg, d)
-        return o, f, s
-
-    text = jax.jit(shard_map(
-        per_device, mesh=mesh,
-        in_specs=(batch_specs(batch), ring_specs(ring)),
-        out_specs=(P(), P(), P()), check_rep=False)
-    ).lower(batch, ring).compile().as_text()
+    text = _gp_compiled_text(mesh, cfg, state.variables(), batch, ring, d)
     a = audit_collectives(text)
     s = a.summary()
     # CPU compiles in f32 -> scale the analytic to f32 for comparison
@@ -228,7 +253,7 @@ def _audit(counts, args):
                       == wire["ring_fwd"]}))
 
 
-def _tpu_schedule_audit(counts, args):
+def _tpu_schedule_audit(batch, counts, args):
     """Audit the GP module's REAL TPU schedule via AOT topology compile.
 
     jax.experimental.topologies lets the TPU compiler target an abstract
@@ -241,18 +266,14 @@ def _tpu_schedule_audit(counts, args):
     import numpy as np
     import jax
     from jax.experimental import topologies
-    from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
 
-    from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
+    from alignn_tpu.nn.models import ALIGNNAtomWise
     from alignn_tpu.parallel.gp_batch import make_ring_index
-    from alignn_tpu.parallel.graph_parallel import (
-        GRAPH_AXIS, batch_specs, check_divisible, gp_device_outputs,
-        ring_specs)
-    from alignn_tpu.parallel.gp_model import GPALIGNNAtomWise
+    from alignn_tpu.parallel.graph_parallel import (GRAPH_AXIS,
+                                                    check_divisible)
     from alignn_tpu.parallel.hlo_audit import (
         audit_collectives, audit_schedule_overlap)
-    from tools.gp_sweep import build_batch
 
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=args.tpu_topology)
@@ -260,12 +281,8 @@ def _tpu_schedule_audit(counts, args):
     d = devs.size
     mesh = Mesh(devs.reshape(d), (GRAPH_AXIS,))
 
-    batch = build_batch(args.graphs)
     check_divisible(batch, d)
-    cfg = ALIGNNAtomWiseConfig(
-        name="alignn_atomwise", alignn_layers=args.alignn_layers,
-        gcn_layers=args.gcn_layers, hidden_features=args.hidden,
-        embedding_features=64, gradwise_weight=1.0, stresswise_weight=0.1)
+    cfg = _gp_cfg(args)
     model = ALIGNNAtomWise(cfg=cfg)
     # abstract init (no device work): AOT needs only shapes for lowering
     variables = jax.eval_shape(
@@ -273,19 +290,8 @@ def _tpu_schedule_audit(counts, args):
                            train=False))
     variables = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), variables)
-    gpm = GPALIGNNAtomWise(cfg=cfg, axis_name=GRAPH_AXIS)
     ring = make_ring_index(batch, d)
-
-    def per_device(b, rg):
-        o, f, s, _ = gp_device_outputs(gpm, cfg, variables, b, rg, d)
-        return o, f, s
-
-    compiled = jax.jit(shard_map(
-        per_device, mesh=mesh,
-        in_specs=(batch_specs(batch), ring_specs(ring)),
-        out_specs=(P(), P(), P()), check_rep=False)
-    ).lower(batch, ring).compile()
-    text = compiled.as_text()
+    text = _gp_compiled_text(mesh, cfg, variables, batch, ring, d)
     a = audit_collectives(text)
     s = a.summary()
     windows = audit_schedule_overlap(text)
@@ -365,7 +371,7 @@ def _dp_projection(args, t1):
     text = step.lower(state, stacked).compile().as_text()
     a = audit_collectives(text)
     ar_payload = sum(c.payload_bytes for c in a.all_reduces())
-    n_params = sum(np.prod(np.asarray(x).shape) for x in
+    n_params = sum(int(np.prod(x.shape)) for x in
                    jax.tree_util.tree_leaves(state.params))
     print(json.dumps({
         "dp": "audit", "all_reduces": len(a.all_reduces()),
