@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     atoms = Atoms.from_file(args.file_path)
     ff = ForceField(atoms, model_path=args.model_path,

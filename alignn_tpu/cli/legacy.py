@@ -50,6 +50,9 @@ def _loaders(config):
 
 
 def main(argv=None):
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("config", nargs="?", default=None,
                    help="TrainingConfig json (default: a small built-in "

@@ -40,6 +40,9 @@ def _load(path: str, fmt: str) -> Atoms:
 
 
 def main(argv=None):
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     from alignn_tpu.zoo import (
         get_all_models,

@@ -186,6 +186,9 @@ def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8000,
 
 
 def main(argv=None):
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--model_dir", required=True)
     p.add_argument("--host", default="127.0.0.1")

@@ -192,6 +192,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     train_for_folder(
         root_dir=args.root_dir,

@@ -1,0 +1,51 @@
+"""Persistent XLA compilation cache for the CLIs and bench.
+
+Under the axon remote-compile tunnel a cold jit of the 4+4 train step
+costs 20s on an idle tunnel and minutes under load (CLAUDE.md tunnel
+notes); every CLI invocation — a training restart, an FF task, a
+serving boot — re-pays it from scratch.  JAX's persistent cache keys
+entries on the serialized HLO + compile options + backend/compiler
+version, so hits are exact-module matches and correctness is
+unaffected; a version bump simply misses and recompiles.
+
+The reference has no counterpart (torch eager never AOT-compiles);
+this is TPU-native runtime infra, same spirit as jit caching guidance
+in the JAX docs.  Opt-out via ALIGNN_TPU_NO_COMPILE_CACHE=1; relocate
+via ALIGNN_TPU_COMPILE_CACHE=/path.
+"""
+
+import os
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/alignn_tpu/xla")
+
+
+def enable_persistent_cache(path=None, min_compile_secs=1.0):
+    """Point JAX's persistent compilation cache at a writable dir.
+
+    Call before the first jit dispatch (safe after too — only
+    subsequent compiles are cached).  Returns the cache dir, or None
+    when disabled/unavailable.  ``min_compile_secs`` filters trivial
+    compiles so the cache holds the expensive train/forward modules,
+    not every 1-op helper.
+    """
+    if os.environ.get("ALIGNN_TPU_NO_COMPILE_CACHE"):
+        return None
+    explicit = path or os.environ.get("ALIGNN_TPU_COMPILE_CACHE")
+    path = explicit or DEFAULT_DIR
+    try:
+        import jax
+
+        if not explicit and jax.default_backend() == "cpu":
+            # Default-path enabling targets the remote-compile tunnel;
+            # on CPU the XLA:CPU AOT loader logs machine-feature
+            # mismatch warnings on every hit and compiles are cheap
+            # anyway.  An explicit path/env is an opt-in that wins.
+            return None
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - old jax / read-only fs
+        return None
+    return path

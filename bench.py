@@ -98,6 +98,14 @@ def main():
                 f"{type(e).__name__}: {e}") from e
         raise
 
+    # Persistent compile cache: only compile TIME is cached (entries
+    # key on exact HLO+compiler version), measured step timings are
+    # unaffected; repeat driver runs skip the minutes-long tunnel
+    # compile of the train step.
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from alignn_tpu.nn.models import ALIGNNAtomWise, ALIGNNAtomWiseConfig
     from alignn_tpu.train.optim import build_optimizer
     from alignn_tpu.train.state import create_train_state, make_train_step
