@@ -48,6 +48,9 @@ def synth_ff_records(n: int, seed: int = 0):
 
 
 def main():
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=300_000)
     p.add_argument("--epochs", type=int, default=2)
