@@ -52,10 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    args = build_parser().parse_args(argv)
+    # After argparse: --help/bad-args exit before any JAX work, and the
+    # cache decision itself never initializes a backend (ADVICE r3).
     from alignn_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    args = build_parser().parse_args(argv)
     atoms = Atoms.from_file(args.file_path)
     ff = ForceField(atoms, model_path=args.model_path,
                     dirname=args.output_dir, stress_wt=args.stress_wt)

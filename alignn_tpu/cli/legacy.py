@@ -50,9 +50,6 @@ def _loaders(config):
 
 
 def main(argv=None):
-    from alignn_tpu.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("config", nargs="?", default=None,
                    help="TrainingConfig json (default: a small built-in "
@@ -67,6 +64,12 @@ def main(argv=None):
                    help="run one profiling pass instead of training "
                         "(reference profile_dgl route, cli.py:46-48)")
     args = p.parse_args(argv)
+
+    # After argparse: --help/bad-args exit before any JAX work, and the
+    # cache decision itself never initializes a backend (ADVICE r3).
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from alignn_tpu.config import TrainingConfig
 

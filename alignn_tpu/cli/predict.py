@@ -40,10 +40,12 @@ def _load(path: str, fmt: str) -> Atoms:
 
 
 def main(argv=None):
+    args = build_parser().parse_args(argv)
+    # After argparse: --help/bad-args exit before any JAX work, and the
+    # cache decision itself never initializes a backend (ADVICE r3).
     from alignn_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    args = build_parser().parse_args(argv)
     from alignn_tpu.zoo import (
         get_all_models,
         get_figshare_model,

@@ -186,9 +186,6 @@ def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8000,
 
 
 def main(argv=None):
-    from alignn_tpu.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--model_dir", required=True)
     p.add_argument("--host", default="127.0.0.1")
@@ -199,6 +196,11 @@ def main(argv=None):
                    help="also expose the /ff energy/forces/stress "
                         "endpoint (atomwise models)")
     args = p.parse_args(argv)
+    # After argparse: --help/bad-args exit before any JAX work, and the
+    # cache decision itself never initializes a backend (ADVICE r3).
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     server, _service = serve(args.model_dir, args.host, args.port,
                              args.cutoff, args.max_neighbors, args.ff)
     print(json.dumps({"serving": f"http://{args.host}:{args.port}",

@@ -192,10 +192,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    args = build_parser().parse_args(argv)
+    # After argparse: --help/bad-args exit before any JAX work, and the
+    # cache decision itself never initializes a backend (ADVICE r3).
     from alignn_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    args = build_parser().parse_args(argv)
     train_for_folder(
         root_dir=args.root_dir,
         config_name=args.config_name,

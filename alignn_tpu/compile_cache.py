@@ -32,15 +32,18 @@ def enable_persistent_cache(path=None, min_compile_secs=1.0):
         return None
     explicit = path or os.environ.get("ALIGNN_TPU_COMPILE_CACHE")
     path = explicit or DEFAULT_DIR
-    try:
-        import jax
+    import jax
 
-        if not explicit and jax.default_backend() == "cpu":
-            # Default-path enabling targets the remote-compile tunnel;
-            # on CPU the XLA:CPU AOT loader logs machine-feature
-            # mismatch warnings on every hit and compiles are cheap
-            # anyway.  An explicit path/env is an opt-in that wins.
-            return None
+    if not explicit and not _non_cpu_platform_configured(jax):
+        # Default-path enabling targets the remote-compile tunnel; on
+        # CPU the XLA:CPU AOT loader logs machine-feature mismatch
+        # warnings on every hit and compiles are cheap anyway.  An
+        # explicit path/env is an opt-in that wins.  Decided WITHOUT
+        # jax.default_backend(): that initializes the backend, which
+        # under a wedged tunnel hangs unboundedly and caches a failed
+        # init (ADVICE r3) — config/env inspection is free.
+        return None
+    try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
@@ -49,3 +52,20 @@ def enable_persistent_cache(path=None, min_compile_secs=1.0):
     except Exception:  # pragma: no cover - old jax / read-only fs
         return None
     return path
+
+
+def _non_cpu_platform_configured(jax):
+    """True when a non-CPU backend is configured, without backend init.
+
+    Positive-evidence rule: the first entry of jax_platforms (config or
+    JAX_PLATFORMS env) names a non-cpu platform, or the axon TPU plugin
+    is armed (PALLAS_AXON_POOL_IPS — it wins platform discovery when
+    set, CLAUDE.md tunnel notes).  Unknown => False, so a bare CPU run
+    never pays cache-dir setup by default.
+    """
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS") or "")
+    first = plats.split(",")[0].strip().lower()
+    if first:
+        return first != "cpu"
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))

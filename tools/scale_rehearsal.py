@@ -48,9 +48,6 @@ def synth_ff_records(n: int, seed: int = 0):
 
 
 def main():
-    from alignn_tpu.compile_cache import enable_persistent_cache
-
-    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=300_000)
     p.add_argument("--epochs", type=int, default=2)
@@ -77,6 +74,12 @@ def main():
     from alignn_tpu.train.state import create_train_state, make_train_step
 
     retry_transient(probe_devices)
+    # Enable the cache only AFTER the guarded probe: it must never be
+    # the first thing to touch backend init on a wedged tunnel
+    # (ADVICE r3; bench.py uses the same ordering).
+    from alignn_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     print(json.dumps({"phase": "devices",
                       "devices": [str(d) for d in jax.devices()][:2]}),
           flush=True)
