@@ -204,3 +204,33 @@ def attribute_lookup_table(atom_features: str = "cgcnn") -> np.ndarray:
     if override is not None:
         return override
     return _builtin_lookup_table(atom_features)
+
+
+def feature_table_provenance(atom_features: str = "cgcnn") -> dict:
+    """Provenance stamp for the featurization currently in effect.
+
+    Converted/saved checkpoints are numerically tied to the exact
+    feature table their embedding layer consumed; this package's
+    rebuilt cgcnn table is semantically equivalent but NOT byte-exact
+    with jarvis's (docstring above), so checkpoints record
+    {atom_features, source, sha256-of-table-bytes} and loaders warn
+    when the active table differs — a later vendored exact-table drop
+    (tools/vendor_atom_tables.py) then invalidates stale conversions
+    loudly instead of silently (VERDICT r3 #5).  Reference anchor:
+    `alignn/graphs.py:1003-1020` (the jarvis lookup being stamped
+    against).
+    """
+    import hashlib
+    import os
+
+    path = os.path.join(tables_dir(), f"{atom_features}.json")
+    override = _override_table(atom_features, path)
+    table = (override if override is not None
+             else _builtin_lookup_table(atom_features))
+    return {
+        "atom_features": atom_features,
+        "source": ("override:" + os.path.basename(path)
+                   if override is not None else "builtin"),
+        "sha256": hashlib.sha256(
+            np.ascontiguousarray(table).tobytes()).hexdigest(),
+    }

