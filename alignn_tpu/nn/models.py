@@ -38,7 +38,8 @@ from alignn_tpu.nn.layers import (
 )
 from alignn_tpu.ops.basis import (bond_cosines, bond_cosines_dense,
                                   cutoff_function_based_edges)
-from alignn_tpu.ops.segment import graph_readout_mean, segment_sum
+from alignn_tpu.ops.segment import (graph_readout_mean,
+                                    graph_readout_sum, segment_sum)
 
 EV_A3_TO_GPA = 160.21766208  # 1 eV/Angstrom^3 in GPa
 
@@ -343,17 +344,28 @@ def extra_features_head(h, batch, cfg, kw, train):
 
 def atomwise_heads(cfg: ALIGNNAtomWiseConfig, kw: Dict[str, Any],
                    batch: GraphBatch, x, bondlength, edge_mask,
-                   edge_axis: Optional[str], train: bool):
+                   edge_axis: Optional[str], train: bool,
+                   node_axis: Optional[str] = None):
     """Shared FF head stack (readout/fc/penalty/en_out).
 
     Called from within a compact flax module so submodule names ("fc",
     "fc_atomwise", ...) attach to the caller — used identically by
-    :class:`ALIGNNAtomWise` and the ring-pipelined GP model
-    (:mod:`alignn_tpu.parallel.gp_model`) so parameter trees match.
-    `bondlength`/`edge_mask` may be local shards under `edge_axis`.
+    :class:`ALIGNNAtomWise`, the ring-pipelined GP model
+    (:mod:`alignn_tpu.parallel.gp_model`) and the halo dense-GP model
+    (:mod:`alignn_tpu.parallel.dense_gp`) so parameter trees match.
+    `bondlength`/`edge_mask` may be local shards under `edge_axis`;
+    with `node_axis` the node table `x` is a local shard too and the
+    readout psums partial per-graph sums over the mesh
+    (`atomwise_pred` then stays a local shard — callers gather).
     """
     result: Dict[str, jnp.ndarray] = {}
-    h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
+    if node_axis is not None:
+        sums = graph_readout_sum(x, batch.node_graph,
+                                 batch.n_nodes.shape[0])
+        sums = jax.lax.psum(sums, node_axis)
+        h = sums / jnp.maximum(batch.n_nodes, 1.0)[:, None]
+    else:
+        h = graph_readout_mean(x, batch.node_graph, batch.n_nodes)
 
     if cfg.extra_features != 0:
         out = extra_features_head(h, batch, cfg, kw, train)

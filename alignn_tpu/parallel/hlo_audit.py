@@ -374,3 +374,43 @@ def expected_ring_bytes(n_devices: int, e_pad: int, features: int,
         "forward_total": fwd,
         "total": fwd * (2 if with_gradient else 1),
     }
+
+
+def expected_halo_bytes(node_steps, edge_steps, features: int,
+                        dtype_bytes: int = 4, r_dtype_bytes: int = 4,
+                        alignn_layers: int = 1, gcn_layers: int = 0,
+                        with_gradient: bool = True):
+    """Analytic wire-byte model for the halo dense-GP mode
+    (parallel/dense_gp.py), the dense counterpart of
+    :func:`expected_ring_bytes`.
+
+    Per chip, per direction: every node-stage EGGC exchanges the
+    [sum(node_steps), 2F] concatenated gate/update halo once; every
+    L-stage exchanges the [sum(edge_steps), F] edge halo TWICE
+    (dst_gate out, h_jt back); the force assembly exchanges the
+    [sum(edge_steps), 3] pair-force halo once.  Transposes mirror the
+    forward exactly (ppermute transposes to ppermute; the halo hops are
+    independent, no accumulate-and-forward chain).
+    """
+    node_rows = int(sum(node_steps))
+    edge_rows = int(sum(edge_steps))
+    node_x = node_rows * 2 * features * dtype_bytes
+    l_stage = 2 * edge_rows * features * dtype_bytes
+    fwd = alignn_layers * (node_x + l_stage) + gcn_layers * node_x
+    forces = edge_rows * 3 * r_dtype_bytes if with_gradient else 0
+    # the FIRST node-stage's cat table is a function of atom features
+    # only (x = atom_embedding before any r-dependent mixing), so dE/dr
+    # carries no cotangent for it: one node exchange has no transpose
+    first_stage = node_x if (alignn_layers or gcn_layers) else 0
+    transpose = fwd - first_stage
+    return {
+        "node_exchange": node_x,
+        "per_l_stage": l_stage,
+        "forces_exchange": forces,
+        # phases of the audited FF-forward module (energy fwd + its
+        # transpose from value_and_grad + the force halo, which runs
+        # outside the grad and therefore lands in the forward phase)
+        "forward_total": fwd + forces,
+        "transpose_total": transpose,
+        "total": fwd + forces + transpose,
+    }

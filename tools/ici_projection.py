@@ -160,6 +160,16 @@ def main():
                         "POST-SCHEDULING HLO: async permute start/done "
                         "placement = the real overlap evidence (needs "
                         "the TPU plugin, not real chips)")
+    p.add_argument("--dense", action="store_true",
+                   help="audit the halo dense-GP mode "
+                        "(parallel/dense_gp.py) instead: wire bytes vs "
+                        "the analytic halo model + sparse-ring "
+                        "comparison; with --tpu_topology also the "
+                        "post-scheduling window audit")
+    p.add_argument("--supercell", type=int, default=0, metavar="N",
+                   help="with --dense: ONE NxNx N rocksalt supercell "
+                        "(8N^3 atoms) instead of --graphs small cells "
+                        "— exercises a real (non-empty) halo")
     args = p.parse_args()
 
     batch, counts = build_recipe_batch(args.graphs)
@@ -209,6 +219,8 @@ def main():
         _dp_projection(args, t1)
     if args.tpu_topology:
         _tpu_schedule_audit(batch, counts, args)
+    if args.dense:
+        _dense_halo_audit(args)
 
 
 def _gp_cfg(args):
@@ -326,6 +338,165 @@ def _tpu_schedule_audit(batch, counts, args):
         "forward_windows": _stats(fwd),
         "transpose_windows": _stats(bwd),
     }))
+
+
+def _dense_halo_audit(args):
+    """Audit + project the halo dense-GP mode (VERDICT r3 #3).
+
+    Compiles the node-block-sharded dense module (parallel/dense_gp.py)
+    on whatever platform is active — the 8-device CPU mesh for the
+    byte/structure audit, or the abstract TPU topology when
+    --tpu_topology is given (post-scheduling windows) — and checks the
+    wire bytes against hlo_audit.expected_halo_bytes, then compares
+    against the sparse ring's analytic bytes at the same batch.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from alignn_tpu.graph.dense import (dense_batch_graphs,
+                                        dense_spec_for_batch)
+    from alignn_tpu.nn.models import ALIGNNAtomWise
+    from alignn_tpu.parallel.dense_gp import (
+        GRAPH_AXIS,
+        DenseGPALIGNNAtomWise,
+        _squeeze_index,
+        dense_batch_specs,
+        dense_gp_device_outputs,
+        index_specs,
+        make_dense_gp_index,
+    )
+    from alignn_tpu.parallel.hlo_audit import (
+        audit_collectives,
+        audit_schedule_overlap,
+        expected_halo_bytes,
+        expected_ring_bytes,
+    )
+
+    if args.tpu_topology:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name=args.tpu_topology)
+        devs = np.array(topo.devices)
+        d = devs.size
+        mesh = Mesh(devs.reshape(d), (GRAPH_AXIS,))
+        abstract = True
+    else:
+        d = 8
+        from alignn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(d, axis_names=(GRAPH_AXIS,))
+        abstract = False
+
+    # the bench-recipe graphs, dense layout
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+
+    rng = np.random.default_rng(0)
+    elems = ["Na", "Cl", "K", "Br", "Mg", "O", "Ca", "S"]
+    base = np.array([
+        [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+        [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5]])
+    graphs = []
+    if args.supercell:
+        # ONE large cell spanning chips — the regime GP exists for.
+        # Supercell atom order is image-major (slabs along the first
+        # axis), so node-block sharding = spatial domain decomposition
+        # and the halo is the slab boundary, not the volume.
+        n = args.supercell
+        atoms = Atoms(lattice_mat=np.eye(3) * 4.2, frac_coords=base,
+                      elements=[elems[j] for j in range(8)]
+                      ).make_supercell((n, n, n))
+        frac = atoms.frac_coords + 0.02 * rng.standard_normal(
+            atoms.frac_coords.shape)
+        atoms = Atoms(lattice_mat=atoms.lattice_mat, frac_coords=frac,
+                      elements=atoms.elements)
+        g = build_graph(atoms, cutoff=8.0, max_neighbors=12)
+        g.target = np.array([0.0])
+        graphs = [g]
+    else:
+        for i in range(args.graphs):
+            a = 4.2 + 0.3 * rng.standard_normal()
+            frac = base + 0.02 * rng.standard_normal((8, 3))
+            atoms = Atoms(lattice_mat=np.eye(3) * a, frac_coords=frac,
+                          elements=[elems[j % len(elems)]
+                                    for j in range(8)])
+            g = build_graph(atoms, cutoff=8.0, max_neighbors=12)
+            g.target = np.array([rng.standard_normal()])
+            graphs.append(g)
+    spec = dense_spec_for_batch(graphs, node_quantum=128)
+    batch = dense_batch_graphs(graphs, spec, target_width=1)
+    idx = make_dense_gp_index(batch, d)
+
+    cfg = _gp_cfg(args)
+    model = ALIGNNAtomWise(cfg=cfg)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False))
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables)
+    gp_model = DenseGPALIGNNAtomWise(cfg=cfg)
+
+    def per_device(b, ix):
+        ix = _squeeze_index(ix)
+        out, forces, stress, _ = dense_gp_device_outputs(
+            gp_model, cfg, variables, b, ix, d)
+        return out, forces, stress
+
+    text = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(dense_batch_specs(batch), index_specs(idx)),
+        out_specs=(P(), P(), P()), check_rep=False)
+    ).lower(batch, idx).compile().as_text()
+
+    a = audit_collectives(text)
+    s = a.summary()
+    want = expected_halo_bytes(
+        idx.node_halo.steps, idx.edge_halo.steps, cfg.hidden_features,
+        dtype_bytes=4, r_dtype_bytes=4,
+        alignn_layers=args.alignn_layers, gcn_layers=args.gcn_layers)
+
+    # sparse-ring comparison at the same batch content
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+
+    sparse = batch_graphs(graphs, BucketSpec.tight_for_batch(graphs),
+                          target_width=1)
+    ring_f32 = expected_ring_bytes(
+        d, int(sparse.src.shape[0]), cfg.hidden_features, dtype_bytes=4,
+        alignn_layers=args.alignn_layers)
+    out = {
+        "dense_halo_audit": args.tpu_topology or "cpu-mesh",
+        "devices": d,
+        "node_halo_steps": list(idx.node_halo.steps),
+        "edge_halo_steps": list(idx.edge_halo.steps),
+        "summary": s,
+        "analytic": want,
+        "match_fwd": s["permute_bytes_forward"] == want["forward_total"],
+        "match_transpose": s["permute_bytes_transpose"]
+        == want["transpose_total"],
+        "sparse_ring_fwd_f32": ring_f32["forward_total"],
+        "dense_vs_sparse_fwd_bytes": round(
+            want["forward_total"]
+            / max(ring_f32["forward_total"], 1), 4),
+    }
+    if abstract:
+        windows = audit_schedule_overlap(text)
+        fwd = [w for w in windows if w["phase"] == "forward"]
+        bwd = [w for w in windows if w["phase"] == "transpose"]
+
+        def _stats(ws):
+            if not ws:
+                return None
+            covered = [w for w in ws if w["window_compute_ops"] > 0]
+            return {"n": len(ws),
+                    "with_compute_in_window": len(covered),
+                    "frac_overlapped": round(len(covered) / len(ws), 4)}
+
+        out["forward_windows"] = _stats(fwd)
+        out["transpose_windows"] = _stats(bwd)
+    print(json.dumps(out))
 
 
 def _dp_projection(args, t1):
