@@ -41,6 +41,67 @@ def _ring_perm(d: int):
     return [(j, (j + 1) % d) for j in range(d)]
 
 
+def ring_mode() -> str:
+    """Reverse-ring structure for the L-stage halo (VERDICT r3 #4).
+
+    "chain" (default): the ring buffer threads ppermutes incrementally;
+    autodiff transposes it to an accumulate-and-forward reverse ring —
+    each reverse hop's payload contains the local VJP scatter-add, so
+    hops serialize with compute (the audited scaling knee,
+    BENCH_NOTES "Ring overlap audit").
+
+    "gather": :func:`ring_broadcast` materializes all D-1 arrived
+    buffers in the forward (same chain, same forward wire bytes) and
+    its custom VJP returns each step's cotangent with ONE independent
+    shift-k permute — reverse hops are chain-free and individually
+    overlappable, at the cost of ~2x reverse link-bytes (shift-k rides
+    min(k, D-k) physical links on a bidirectional torus axis vs 1 for
+    a chain hop) and O(E) residual memory for the stacked buffers.
+    """
+    import os
+
+    return os.environ.get("ALIGNN_TPU_GP_RING", "chain")
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def ring_broadcast(buf, d: int, axis_name: str):
+    """[S, W] local shard -> [D, S, W] stack of every chip's shard.
+
+    Row k on chip c is shard (c - k) mod D — exactly what arrives at
+    ring step k of the chain.  Forward = the chain (D-1 neighbor
+    permutes); reverse = gather-then-reduce (see :func:`ring_mode`).
+    """
+    return jnp.stack(_ring_chain(buf, d, axis_name))
+
+
+def _ring_chain(buf, d, axis_name):
+    bufs = [buf]
+    for _ in range(1, d):
+        bufs.append(jax.lax.ppermute(bufs[-1], axis_name, _ring_perm(d)))
+    return bufs
+
+
+def _rb_fwd(buf, d, axis_name):
+    return ring_broadcast(buf, d, axis_name), None
+
+
+def _rb_bwd(d, axis_name, _res, g):
+    # g[k] on chip c is the cotangent of shard (c - k): return each to
+    # its producer with an INDEPENDENT shift permute (j -> j - k), then
+    # reduce locally.  No hop's payload depends on another hop.
+    out = g[0]
+    for k in range(1, d):
+        out = out + jax.lax.ppermute(
+            g[k], axis_name, [(j, (j - k) % d) for j in range(d)])
+    return (out,)
+
+
+ring_broadcast.defvjp(_rb_fwd, _rb_bwd)
+
+
 def ring_cosines(r_loc, ring: RingIndex, axis_name: str):
     """Bond-angle cosines for ring-ordered L-edges from sharded r.
 
@@ -50,15 +111,17 @@ def ring_cosines(r_loc, ring: RingIndex, axis_name: str):
     """
     d, off = ring.n_shards, ring.offsets
     parts = []
+    gather = ring_mode() == "gather"
+    bufs = ring_broadcast(r_loc, d, axis_name) if gather else None
     buf = r_loc
     for k in range(d):
         cols = slice(off[k], off[k + 1])
-        r1 = -buf[ring.lg_src[0, cols]]
+        r1 = -(bufs[k] if gather else buf)[ring.lg_src[0, cols]]
         r2 = r_loc[ring.lg_dst[0, cols]]
         num = jnp.sum(r1 * r2, axis=1)
         den = jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r2, axis=1)
         parts.append(jnp.clip(num / jnp.maximum(den, 1e-12), -1.0, 1.0))
-        if k + 1 < d:
+        if not gather and k + 1 < d:
             buf = jax.lax.ppermute(buf, axis_name, _ring_perm(d))
     return jnp.concatenate(parts)
 
@@ -89,6 +152,8 @@ class RingEdgeGatedGraphConv(nn.Module):
         edge_gate = Dense(f, dtype=self.dtype, name="edge_gate")(z_ring)
 
         buf = jnp.concatenate([src_gate, bh], axis=-1)  # ring payload
+        gather = ring_mode() == "gather"
+        bufs = ring_broadcast(buf, d, self.axis_name) if gather else None
         num = jnp.zeros((e_loc, f), dtype=jnp.float32)
         den = jnp.zeros((e_loc, f), dtype=jnp.float32)
         m_lg_parts = []
@@ -97,8 +162,9 @@ class RingEdgeGatedGraphConv(nn.Module):
             lsrc = ring.lg_src[0, cols]
             ldst = ring.lg_dst[0, cols]
             w = ring.lg_mask[0, cols]
-            sg_r = buf[:, :f][lsrc]
-            bh_r = buf[:, f:][lsrc]
+            step_buf = bufs[k] if gather else buf
+            sg_r = step_buf[:, :f][lsrc]
+            bh_r = step_buf[:, f:][lsrc]
             m_lg_k = sg_r + dst_gate[ldst] + edge_gate[cols]
             sigma = jax.nn.sigmoid(m_lg_k) * w[:, None]
             packed = jnp.concatenate([sigma * bh_r, sigma], axis=-1)
@@ -107,7 +173,7 @@ class RingEdgeGatedGraphConv(nn.Module):
             num = num + agg[:, :f]
             den = den + agg[:, f:]
             m_lg_parts.append(m_lg_k)
-            if k + 1 < d:
+            if not gather and k + 1 < d:
                 buf = jax.lax.ppermute(buf, self.axis_name, _ring_perm(d))
         h = (num / (den + 1e-6)).astype(m_loc.dtype)
         m_lg = jnp.concatenate(m_lg_parts)

@@ -58,10 +58,17 @@ GB = 1e9
 
 
 def analytic_bytes(d, e_pad, n_nodes, n_graphs, hidden, alignn_layers,
-                   gcn_layers, buf_bytes=2):
+                   gcn_layers, buf_bytes=2, ring="chain"):
     """Per-chip wire bytes per train step (fwd+bwd) for the GP mode.
 
-    buf_bytes: ring payload dtype (bf16 operands on TPU = 2)."""
+    buf_bytes: ring payload dtype (bf16 operands on TPU = 2).
+    ring="gather": the gather-then-reduce reverse
+    (ALIGNN_TPU_GP_RING=gather, parallel/gp_model.ring_broadcast) —
+    reverse payload bytes are unchanged (D-1 permutes of the same
+    buffer) but each shift-k permute rides min(k, D-k) physical links
+    on a bidirectional torus axis, so reverse LINK-bytes scale by
+    sum_k min(k, D-k) / (D-1) (2.29x at D=8) — the price of making the
+    hops independent/overlappable."""
     from alignn_tpu.parallel.hlo_audit import expected_ring_bytes
 
     # ring terms from the test-pinned model (tests/test_ring_overlap.py)
@@ -69,6 +76,9 @@ def analytic_bytes(d, e_pad, n_nodes, n_graphs, hidden, alignn_layers,
         d, e_pad, hidden, dtype_bytes=buf_bytes,
         alignn_layers=alignn_layers)["forward_total"]
     ring_bwd = ring_fwd                                # transpose mirrors
+    if ring == "gather":
+        hop_factor = sum(min(k, d - k) for k in range(1, d)) / (d - 1)
+        ring_bwd = ring_fwd * hop_factor
     # node-stage psums: packed [N, 2F] (num+den) f32 per EGGC node
     # update, fwd + bwd (payload audited: 17 all-reduces / 21.0 MB at
     # 4+4/256 — matches)
@@ -77,7 +87,7 @@ def analytic_bytes(d, e_pad, n_nodes, n_graphs, hidden, alignn_layers,
         + n_nodes * 3 * 4 + n_graphs * 9 * 4           # forces + stress
     ar = 2 * (d - 1) / d * psum_payload                # ring all-reduce
     return {"ring_fwd": ring_fwd, "ring_bwd": ring_bwd, "all_reduce": ar,
-            "total": ring_fwd + ring_bwd + ar}
+            "total": ring_fwd + ring_bwd + ar, "ring": ring}
 
 
 def project(d, t1_s, wire, bw_gbps, fwd_frac=0.143, overlap=True):
@@ -88,7 +98,16 @@ def project(d, t1_s, wire, bw_gbps, fwd_frac=0.143, overlap=True):
     t_ar = wire["all_reduce"] / bw
     if overlap:
         window = fwd_frac * t_comp          # forward L-stage compute
-        exposed = max(0.0, t_fwd - window) + t_bwd + t_ar
+        if wire.get("ring") == "gather":
+            # gather reverse: hops are chain-free (pinned by
+            # tests/test_ring_gather.py) -> the scheduler can hide them
+            # under the reverse L-stage compute, which is >= the
+            # forward share; charge the same conservative window
+            exposed = (max(0.0, t_fwd - window)
+                       + max(0.0, t_bwd - window) + t_ar)
+        else:
+            # chain reverse: accumulate-and-forward, fully exposed
+            exposed = max(0.0, t_fwd - window) + t_bwd + t_ar
     else:
         exposed = t_fwd + t_bwd + t_ar
     t_step = t_comp + exposed
@@ -166,6 +185,11 @@ def main():
                         "the analytic halo model + sparse-ring "
                         "comparison; with --tpu_topology also the "
                         "post-scheduling window audit")
+    p.add_argument("--ring", default="chain",
+                   choices=["chain", "gather"],
+                   help="reverse-ring structure for the audited sparse "
+                        "GP module (ALIGNN_TPU_GP_RING; see "
+                        "parallel/gp_model.ring_mode)")
     p.add_argument("--supercell", type=int, default=0, metavar="N",
                    help="with --dense: ONE NxNx N rocksalt supercell "
                         "(8N^3 atoms) instead of --graphs small cells "
@@ -181,17 +205,20 @@ def main():
     platforms = {"v5e": 45.0, "v5p": 90.0}
     rows = []
     for d in (2, 4, 8, 16):
-        wire = analytic_bytes(d, counts["e_pad"], counts["n_nodes"],
-                              counts["n_graphs"], args.hidden,
-                              args.alignn_layers, args.gcn_layers)
-        for plat, bw in platforms.items():
-            for overlap in (True, False):
-                r = project(d, t1, wire, bw, args.fwd_frac, overlap)
-                rows.append({"platform": plat, "devices": d,
-                             "overlap": overlap,
-                             "wire_mb_per_chip": round(
-                                 wire["total"] / 1e6, 2),
-                             **{k: round(v, 4) for k, v in r.items()}})
+        for ring in ("chain", "gather"):
+            wire = analytic_bytes(d, counts["e_pad"], counts["n_nodes"],
+                                  counts["n_graphs"], args.hidden,
+                                  args.alignn_layers, args.gcn_layers,
+                                  ring=ring)
+            for plat, bw in platforms.items():
+                for overlap in (True, False):
+                    r = project(d, t1, wire, bw, args.fwd_frac, overlap)
+                    rows.append({"platform": plat, "devices": d,
+                                 "ring": ring, "overlap": overlap,
+                                 "wire_mb_per_chip": round(
+                                     wire["total"] / 1e6, 2),
+                                 **{k: round(v, 4)
+                                    for k, v in r.items()}})
     for row in rows:
         print(json.dumps(row))
 
@@ -202,9 +229,14 @@ def main():
     print(json.dumps({
         "claim": ">=80% GP scaling efficiency at D=8 on v5p",
         "projected_overlapped": next(
-            r["efficiency"] for r in v5p8 if r["overlap"]),
+            r["efficiency"] for r in v5p8
+            if r["overlap"] and r["ring"] == "chain"),
+        "projected_overlapped_gather_ring": next(
+            r["efficiency"] for r in v5p8
+            if r["overlap"] and r["ring"] == "gather"),
         "projected_serialized": next(
-            r["efficiency"] for r in v5p8 if not r["overlap"]),
+            r["efficiency"] for r in v5p8
+            if not r["overlap"] and r["ring"] == "chain"),
         "assumptions": [
             "single-chip anchor 44.2 ms / 1.7M edges/s (device-measured)",
             "ring rides ONE v5p torus axis at 90 GB/s/dir",
@@ -287,6 +319,7 @@ def _tpu_schedule_audit(batch, counts, args):
     from alignn_tpu.parallel.hlo_audit import (
         audit_collectives, audit_schedule_overlap)
 
+    os.environ["ALIGNN_TPU_GP_RING"] = args.ring
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=args.tpu_topology)
     devs = np.array(topo.devices)
@@ -331,6 +364,7 @@ def _tpu_schedule_audit(batch, counts, args):
                           buf_bytes=4)
     print(json.dumps({
         "tpu_schedule_audit": args.tpu_topology,
+        "ring": args.ring,
         "devices": d,
         "summary": s,
         "analytic_f32_ring_fwd": wire["ring_fwd"],
