@@ -35,6 +35,7 @@ def train_for_folder(
     additional_output_key: str = "additional_output",
     file_format: str = "poscar",
     restart_model_path: Optional[str] = None,
+    resume: Optional[str] = None,
     output_dir: Optional[str] = None,
     devices: int = 1,
     profile: Optional[str] = None,
@@ -155,13 +156,29 @@ def train_for_folder(
                               edges_per_batch=edges)
         print(result)
         return result
+    # full-state resume (weights + optimizer + epoch + history): the
+    # reference can only weights-restart manually
+    # (train_alignn.py:336-352); `resume="auto"` picks up the epoch-
+    # granular restart.mpk the trainer writes, so a killed run continues
+    # with an identical trajectory (tests/test_train.py kill-resume pin)
+    restart_state_path = None
+    if resume:
+        restart_state_path = (os.path.join(config.output_dir,
+                                           "restart.mpk")
+                              if resume == "auto" else resume)
+        if not os.path.exists(restart_state_path):
+            print(f"[resume] no checkpoint at {restart_state_path}; "
+                  f"starting fresh")
+            restart_state_path = None
     if devices > 1:
         from alignn_tpu.parallel.dp import train_model_dp
 
         return train_model_dp(config, tr, va, te, n_devices=devices,
-                              restart_params_path=restart_model_path)
+                              restart_params_path=restart_model_path,
+                              restart_state_path=restart_state_path)
     return train_model(config, tr, va, te,
-                       restart_params_path=restart_model_path)
+                       restart_params_path=restart_model_path,
+                       restart_state_path=restart_state_path)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -183,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--additional_output_key", default="additional_output")
     p.add_argument("--output_dir", default=None)
     p.add_argument("--restart_model_path", default=None)
+    p.add_argument("--resume", default=None,
+                   help='full-state resume: "auto" = '
+                        "<output_dir>/restart.mpk, or an explicit path; "
+                        "continues epoch/optimizer/LR state exactly "
+                        "(vs --restart_model_path, weights only)")
     p.add_argument("--devices", default=1, type=int,
                    help="data-parallel device count (mesh axis size)")
     p.add_argument("--profile", default=None,
@@ -212,6 +234,7 @@ def main(argv=None):
         additional_output_key=args.additional_output_key,
         file_format=args.file_format,
         restart_model_path=args.restart_model_path,
+        resume=args.resume,
         output_dir=args.output_dir,
         devices=args.devices,
         profile=args.profile,

@@ -65,7 +65,8 @@ def make_dp_train_step(model, mesh: Mesh, criterion: str = "l1",
 
 def train_model_dp(config, train_loader, val_loader, test_loader=None,
                    n_devices: Optional[int] = None,
-                   restart_params_path: Optional[str] = None):
+                   restart_params_path: Optional[str] = None,
+                   restart_state_path: Optional[str] = None):
     """Data-parallel variant of :func:`alignn_tpu.train.trainer.train_model`.
 
     Reuses the single-device trainer loop but swaps in the shard_map
@@ -111,6 +112,7 @@ def train_model_dp(config, train_loader, val_loader, test_loader=None,
         return _trainer.train_model(
             config, train_loader, val_loader, test_loader,
             restart_params_path=restart_params_path,
+            restart_state_path=restart_state_path,
             train_step_factory=step_factory)
 
     # 1-D DP: a configured mesh_shape["data"] wins over "all devices"
@@ -131,5 +133,6 @@ def train_model_dp(config, train_loader, val_loader, test_loader=None,
     return _trainer.train_model(
         config, train_loader, val_loader, test_loader,
         restart_params_path=restart_params_path,
+        restart_state_path=restart_state_path,
         train_step_factory=step_factory,
         model_axis_name=AXIS)

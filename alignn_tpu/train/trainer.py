@@ -168,9 +168,24 @@ def train_model(
         else 0
 
     history_train, history_val = [], []
+    if start_epoch > 0:
+        # resuming: preload the interrupted run's history so the dumps
+        # stay a complete per-epoch record instead of restarting at the
+        # resume point (truncate in case the kill landed mid-dump)
+        for name, hist in (("history_train.json", history_train),
+                           ("history_val.json", history_val)):
+            path = os.path.join(output_dir, name)
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        hist.extend(json.load(f)[:start_epoch])
+                except (json.JSONDecodeError, OSError):
+                    pass
     best_loss = np.inf
     no_improve = 0
+    epochs_run = 0
     for epoch in range(start_epoch, config.epochs):
+        epochs_run += 1
         train_loader.set_epoch(epoch)
         lr = epoch_lr(config.scheduler, config.learning_rate,
                       config.epochs, epoch,
@@ -242,7 +257,9 @@ def train_model(
 
     summary: Dict[str, Any] = {
         "best_val_loss": float(best_loss),
-        "epochs_run": len(history_train),
+        # epochs executed THIS invocation (history_train also carries
+        # preloaded pre-resume epochs so the dump stays complete)
+        "epochs_run": epochs_run,
         "train_time_s": time.time() - t0,
     }
 
