@@ -313,8 +313,18 @@ class EdgeGatedGraphConv(nn.Module):
             m, h = self._dense_pair_lstage(
                 e, rev, src_gate, dst_gate, bh, edge_mask, edge_weight,
                 pallas)
-            return self._update_tail(x, e, m, h, node_mask, edge_mask,
-                                     train)
+            x_new, e_new = self._update_tail(x, e, m, h, node_mask,
+                                             edge_mask, train)
+            from alignn_tpu.ops.fp8 import (
+                fp8_ltables_enabled,
+                fp8_round_trip,
+            )
+
+            if fp8_ltables_enabled():
+                # z residual stream at the layer boundary stored in
+                # e4m3 (the other [L, F] traffic term; ops/fp8.py)
+                e_new = fp8_round_trip(e_new)
+            return x_new, e_new
         if self.dense_D:
             m, h = self._dense_gather_aggregate(
                 x, e, src, src_gate, dst_gate, bh, edge_mask, edge_weight,

@@ -321,6 +321,16 @@ def dense_pair_aggregate(m2, bh, D: int, use_pallas: bool = True):
 
 def _pair_fwd(m2, bh, D, use_pallas):
     h = dense_pair_aggregate(m2, bh, D, use_pallas)
+    from alignn_tpu.ops.fp8 import fp8_ltables_enabled, fp8_round_trip
+
+    if fp8_ltables_enabled():
+        # store the dominant [L, F] residual through an e4m3 round trip
+        # (VERDICT r3 #2 A/B): the f8 payload is the only real data
+        # dependency of the saved value, so XLA materializes 1 B/elem
+        # + per-row scales instead of the bf16 table.  Straight-through
+        # gradient keeps the residual a differentiable function of the
+        # primals (grad-of-grad invariant).
+        return h, (fp8_round_trip(m2), bh)
     return h, (m2, bh)
 
 
