@@ -36,6 +36,40 @@ def env_on(name: str) -> bool:
 BASELINE_EDGES_PER_S = 3.96e3
 
 
+def build_largecell_batch(batch_size=2, seed=0):
+    """mlearn-shaped leg (VERDICT r3 #6): 108-atom cells, radius graph
+    cutoff 5, sparse layout — the reference's canonical FF-training
+    recipe (examples/sample_data_ff/mlearn_data/Si/config.json shape,
+    radius_graph as in its config_example) and the regime where the
+    dense layout measured SLOWER (BENCH_NOTES md_jit A/B), so the perf
+    record covers the production envelope, not only the k-NN sweet
+    spot."""
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+
+    rng = np.random.default_rng(seed)
+    fcc = np.array([[0, 0, 0], [0.5, 0.5, 0],
+                    [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    graphs = []
+    for i in range(batch_size):
+        base = Atoms(lattice_mat=np.eye(3) * 4.05, frac_coords=fcc,
+                     elements=["Al"] * 4).make_supercell((3, 3, 3))
+        frac = base.frac_coords + 0.02 * rng.standard_normal(
+            base.frac_coords.shape)
+        atoms = Atoms(lattice_mat=base.lattice_mat, frac_coords=frac,
+                      elements=base.elements)
+        g = build_graph(atoms, neighbor_strategy="radius_graph",
+                        cutoff=5.0)
+        n = len(atoms.elements)
+        g.target = np.array([rng.standard_normal()])
+        g.forces = rng.standard_normal((n, 3)) * 0.1
+        g.stress = np.eye(3) * 0.01
+        graphs.append(g)
+    return batch_graphs(graphs, BucketSpec.tight_for_batch(graphs),
+                        target_width=1)
+
+
 def build_batch(batch_size=32, seed=0, dense=False):
     from alignn_tpu.chem.atoms import Atoms
     from alignn_tpu.graph.build import build_graph
@@ -135,7 +169,17 @@ def main():
     # super-linear batch growth.  ALIGNN_TPU_BENCH_SPARSE=1 runs the
     # sparse (sorted-segment / Pallas one-hot) path instead.
     dense = not env_on("ALIGNN_TPU_BENCH_SPARSE")
-    batch = build_batch(batch_size=bench_b, dense=dense)
+    largecell = env_on("ALIGNN_TPU_BENCH_LARGECELL")
+    if largecell:
+        # large-cell / radius-graph production-envelope leg: 108-atom
+        # cells, radius cutoff 5, SPARSE layout (see
+        # build_largecell_batch); batch via ALIGNN_TPU_BENCH_B
+        # (default 2 mirrors the mlearn per-step cell count at bs=5's
+        # per-bucket scale — override for capacity sweeps)
+        batch = build_largecell_batch(
+            batch_size=int(os.environ.get("ALIGNN_TPU_BENCH_B", "2")))
+    else:
+        batch = build_batch(batch_size=bench_b, dense=dense)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
     state = create_train_state(model, batch, tx)
     if env_on("ALIGNN_TPU_BENCH_FJVP"):
@@ -193,14 +237,17 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
+    out = {
         "metric": "train_step_edges_per_s",
         "value": float(edges_per_s),
         "unit": "edges/s/chip (g + L(g), fwd+bwd incl. force grad)",
         "vs_baseline": float(edges_per_s / BASELINE_EDGES_PER_S),
         "mfu_lower_bound": None if mfu is None else round(mfu, 4),
         "xla_flops_per_step": step_flops,
-    }))
+    }
+    if largecell:
+        out["workload"] = "largecell_radius5_108atom_sparse"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
