@@ -556,3 +556,172 @@ def make_dense_gp_forward(model_cfg: ALIGNNAtomWiseConfig, mesh: Mesh,
         return compiled[key](batch, idx)
 
     return fwd
+
+
+def _masked_mean_psum(err, mask, axis_name):
+    """Global masked mean over a node/edge-sharded term: local masked
+    sums psum'd, so the result equals losses.masked_mean on the
+    unsharded arrays exactly (sums decompose over shards)."""
+    m = mask
+    while m.ndim < err.ndim:
+        m = m[..., None]
+    num = jax.lax.psum(jnp.sum(err * m), axis_name)
+    den = jax.lax.psum(jnp.sum(jnp.broadcast_to(m, err.shape)),
+                       axis_name)
+    return num / jnp.maximum(den, 1.0)
+
+
+def dense_gp_loss(res, forces_loc, stress, batch: GraphBatch, model_cfg,
+                  classification: bool = False):
+    """The 5-part atomwise loss over node-block shards.
+
+    Graph-space terms (out/stress/additional) are replicated after the
+    readout psum and use train.losses semantics verbatim; node-space
+    terms (forces, atomwise) reduce with _masked_mean_psum so the total
+    equals losses.atomwise_loss on the unsharded batch exactly.
+    """
+    from alignn_tpu.train.losses import l1_loss, masked_mean
+
+    zero = jnp.zeros((), dtype=jnp.float32)
+    loss1 = loss2 = loss3 = loss4 = loss5 = zero
+    if model_cfg.output_features is not None and \
+            model_cfg.graphwise_weight != 0:
+        if classification:
+            labels = batch.target[:, 0]
+            p = res["out"][:, 0]
+            bce = -(labels * jnp.log(p + 1e-10)
+                    + (1 - labels) * jnp.log(1 - p + 1e-10))
+            loss1 = model_cfg.graphwise_weight * masked_mean(
+                bce, batch.graph_mask)
+        else:
+            tw = batch.target.shape[1]
+            loss1 = model_cfg.graphwise_weight * l1_loss(
+                res["out"][:, :tw], batch.target, batch.graph_mask)
+    if model_cfg.atomwise_output_features > 0 and \
+            model_cfg.atomwise_weight != 0:
+        aw = batch.atomwise_target.shape[1]
+        loss2 = model_cfg.atomwise_weight * _masked_mean_psum(
+            jnp.abs(res["atomwise_pred"][:, :aw]
+                    - batch.atomwise_target),
+            batch.node_mask, GRAPH_AXIS)
+    if model_cfg.calculate_gradient and model_cfg.gradwise_weight != 0:
+        loss3 = model_cfg.gradwise_weight * _masked_mean_psum(
+            jnp.abs(forces_loc - batch.forces), batch.node_mask,
+            GRAPH_AXIS)
+    if model_cfg.stresswise_weight != 0:
+        loss4 = model_cfg.stresswise_weight * l1_loss(
+            stress, batch.stress, batch.graph_mask)
+    if getattr(model_cfg, "additional_output_weight", 0) != 0 and \
+            getattr(model_cfg, "additional_output_features", 0) > 0:
+        fw = batch.additional.shape[1]
+        loss5 = model_cfg.additional_output_weight * l1_loss(
+            res["additional"][:, :fw], batch.additional,
+            batch.graph_mask)
+    total = loss1 + loss2 + loss3 + loss4 + loss5
+    return {"loss": total, "loss1": loss1, "loss2": loss2,
+            "loss3": loss3, "loss4": loss4, "loss5": loss5}
+
+
+def make_dense_gp_train_step(model_cfg, mesh: Mesh,
+                             classification: bool = False,
+                             donate: bool = True):
+    """Jitted (state, dense_batch[, idx]) -> (state, losses) on a 1-D
+    graph mesh: the full E/F/S objective (incl. the force grad-of-grad)
+    with the dense layout node-block-sharded and halo-exchanged.
+
+    Numerically equal to the single-device dense train step (pinned in
+    tests/test_dense_gp.py) — single-chip checkpoints and recipes carry
+    over unchanged.
+    """
+    import optax
+
+    from alignn_tpu.train.state import TrainState
+
+    n_devices = int(np.prod(mesh.devices.shape))
+    model = DenseGPALIGNNAtomWise(cfg=model_cfg, axis_name=GRAPH_AXIS)
+
+    def per_device_step(state: TrainState, batch: GraphBatch,
+                        idx: DenseGPIndex):
+        idx_loc = _squeeze_index(idx)
+        D = batch.dense_D
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            r_loc = batch.r
+
+            def energy_fn(r):
+                res = model.apply(variables, batch, r, idx_loc,
+                                  train=True)
+                return jnp.sum(res["en_out"] * batch.graph_mask), res
+
+            (_, res), g_r = jax.value_and_grad(
+                energy_fn, has_aux=True)(r_loc)
+            g_r = g_r / n_devices
+            pair_forces = model_cfg.grad_multiplier * g_r
+            if model_cfg.force_mult_natoms:
+                pair_forces = pair_forces * jnp.sum(batch.n_nodes)
+            n_loc = batch.z.shape[0]
+            forces_loc = pair_forces.reshape(n_loc, D, 3).sum(axis=1)
+            if model_cfg.add_reverse_forces:
+                pf_halo = halo_exchange(pair_forces, idx_loc.edge_halo,
+                                        GRAPH_AXIS)
+                pf_rev = pf_halo[idx_loc.rev_halo] \
+                    * batch.edge_mask[:, None]
+                forces_loc = forces_loc - pf_rev.reshape(
+                    n_loc, D, 3).sum(axis=1)
+            if model_cfg.stresswise_weight != 0:
+                outer = jnp.einsum("ei,ej->eij", r_loc, pair_forces)
+                per_graph = jax.lax.psum(
+                    segment_sum(outer, batch.edge_graph,
+                                batch.graph_mask.shape[0]), GRAPH_AXIS)
+                stress = (-model_cfg.stress_multiplier * EV_A3_TO_GPA
+                          * per_graph
+                          / jnp.maximum(batch.volume,
+                                        1e-12)[:, None, None])
+            else:
+                stress = jnp.zeros_like(batch.stress)
+            losses = dense_gp_loss(res, forces_loc, stress, batch,
+                                   model_cfg,
+                                   classification=classification)
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        # psum-transpose: per-chip grads are D x the local share
+        grads = jax.lax.pmean(grads, GRAPH_AXIS)
+        losses = jax.lax.pmean(losses, GRAPH_AXIS)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), losses
+
+    compiled = {}
+    steps_floor = [None]
+
+    def step(state, batch: GraphBatch, idx: DenseGPIndex | None = None):
+        if idx is None:
+            idx = make_dense_gp_index(batch, n_devices)
+            if steps_floor[0] is not None:
+                floored = (
+                    tuple(max(a, b) for a, b in zip(
+                        idx.node_halo.steps, steps_floor[0][0])),
+                    tuple(max(a, b) for a, b in zip(
+                        idx.edge_halo.steps, steps_floor[0][1])))
+                if floored != (idx.node_halo.steps,
+                               idx.edge_halo.steps):
+                    idx = make_dense_gp_index(batch, n_devices,
+                                              force_steps=floored)
+            steps_floor[0] = (idx.node_halo.steps, idx.edge_halo.steps)
+        key = (idx.node_halo.steps, idx.edge_halo.steps, batch.dense_D)
+        if key not in compiled:
+            compiled[key] = jax.jit(shard_map(
+                per_device_step, mesh=mesh,
+                in_specs=(P(), dense_batch_specs(batch),
+                          index_specs(idx)),
+                out_specs=(P(), P()), check_rep=False,
+            ), donate_argnums=(0,) if donate else ())
+        return compiled[key](state, batch, idx)
+
+    return step

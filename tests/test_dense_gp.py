@@ -353,3 +353,48 @@ def test_single_exchange_reverse_has_no_permute_chain():
                       for d in instrs[t].deps)]
     assert not chained, (
         f"transpose->transpose permute chain found: {chained}")
+
+
+@pytest.mark.parametrize("supercell", [False, True])
+def test_dense_gp_train_step_matches_single_chip(supercell):
+    """One full E/F/S train step (grad-of-grad) on the 8-device dense-GP
+    mesh == the single-device dense train step: same loss components,
+    same updated parameters.  Covers both the zero-halo (packed small
+    crystals) and real-halo (supercell) regimes."""
+    from alignn_tpu.parallel.dense_gp import make_dense_gp_train_step
+    from alignn_tpu.train.optim import build_optimizer
+    from alignn_tpu.train.state import create_train_state, \
+        make_train_step
+    from flax import serialization, traverse_util
+
+    batch = _supercell_batch() if supercell else _dense_batch()
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=32, embedding_features=16,
+        gradwise_weight=10.0, stresswise_weight=0.1,
+        graphwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    tx = build_optimizer("adamw", 1e-3, 1e-5)
+    state_ref = create_train_state(model, batch, tx)
+    step_ref = make_train_step(model, criterion="l1", donate=False)
+    new_ref, losses_ref = step_ref(state_ref, batch)
+
+    mesh = make_mesh(8, axis_names=("graph",))
+    state_gp = create_train_state(model, batch, tx)
+    step_gp = make_dense_gp_train_step(cfg, mesh, donate=False)
+    new_gp, losses_gp = step_gp(state_gp, batch)
+
+    for k in ("loss", "loss1", "loss3", "loss4"):
+        np.testing.assert_allclose(
+            float(jax.device_get(losses_gp[k])),
+            float(jax.device_get(losses_ref[k])), rtol=5e-4,
+            atol=1e-6, err_msg=k)
+
+    pa = traverse_util.flatten_dict(serialization.to_state_dict(
+        jax.device_get(new_ref.params)))
+    pb = traverse_util.flatten_dict(serialization.to_state_dict(
+        jax.device_get(new_gp.params)))
+    assert pa.keys() == pb.keys()
+    for k in pa:
+        np.testing.assert_allclose(pb[k], pa[k], rtol=2e-3, atol=2e-5,
+                                    err_msg="/".join(k))
