@@ -725,3 +725,169 @@ def make_dense_gp_train_step(model_cfg, mesh: Mesh,
         return compiled[key](state, batch, idx)
 
     return step
+
+
+def make_stacked_dense_index(stacked: GraphBatch, gp_size: int,
+                             quantum: int = 128,
+                             min_steps: tuple | None = None
+                             ) -> DenseGPIndex:
+    """Halo plans for a [D_data, ...]-stacked dense batch (dp x gp).
+
+    All data rows share one static (node_steps, edge_steps) pair
+    (elementwise max over rows, floored by `min_steps`) so the jit
+    cache stays bounded — same discipline as gp_batch.make_stacked_ring.
+    Returns arrays stacked [D_data, Dc, ...].
+    """
+    n_rows = int(np.asarray(stacked.src).shape[0])
+    rows = [jax.tree_util.tree_map(lambda x, i=i: np.asarray(x)[i],
+                                   stacked) for i in range(n_rows)]
+    first = [make_dense_gp_index(r, gp_size, quantum) for r in rows]
+    node_steps = tuple(max(ix.node_halo.steps[k] for ix in first)
+                       for k in range(gp_size - 1))
+    edge_steps = tuple(max(ix.edge_halo.steps[k] for ix in first)
+                       for k in range(gp_size - 1))
+    if min_steps is not None:
+        node_steps = tuple(max(a, b) for a, b in
+                           zip(node_steps, min_steps[0]))
+        edge_steps = tuple(max(a, b) for a, b in
+                           zip(edge_steps, min_steps[1]))
+    idxs = [make_dense_gp_index(r, gp_size, quantum,
+                                force_steps=(node_steps, edge_steps))
+            for r in rows]
+    return DenseGPIndex(
+        node_halo=HaloIndex(
+            send_idx=np.stack([ix.node_halo.send_idx for ix in idxs]),
+            steps=node_steps),
+        edge_halo=HaloIndex(
+            send_idx=np.stack([ix.edge_halo.send_idx for ix in idxs]),
+            steps=edge_steps),
+        src_halo=np.stack([ix.src_halo for ix in idxs]),
+        rev_halo=np.stack([ix.rev_halo for ix in idxs]),
+        n_shards=gp_size)
+
+
+def make_dp_dense_gp_train_step(model_cfg, mesh: Mesh,
+                                classification: bool = False,
+                                donate: bool = True):
+    """2-D ("data", "graph") mesh train step for the DENSE layout.
+
+    Each data row holds a different dense micro-batch; within a row the
+    node/edge/L-pair spaces shard over the graph axis with halo
+    exchange.  Gradients pmean over both axes — the dense counterpart
+    of :func:`alignn_tpu.parallel.dp_gp.make_dp_gp_train_step`.
+    """
+    import optax
+
+    from alignn_tpu.train.state import TrainState
+
+    data_axis = "data"
+    gp_size = mesh.devices.shape[mesh.axis_names.index(GRAPH_AXIS)]
+    model = DenseGPALIGNNAtomWise(cfg=model_cfg, axis_name=GRAPH_AXIS)
+
+    def per_device_step(state: TrainState, batch: GraphBatch,
+                        idx: DenseGPIndex):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        idx_loc = DenseGPIndex(
+            node_halo=HaloIndex(send_idx=idx.node_halo.send_idx[0, 0],
+                                steps=idx.node_halo.steps),
+            edge_halo=HaloIndex(send_idx=idx.edge_halo.send_idx[0, 0],
+                                steps=idx.edge_halo.steps),
+            src_halo=idx.src_halo[0, 0], rev_halo=idx.rev_halo[0, 0],
+            n_shards=idx.n_shards)
+        D = batch.dense_D
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            r_loc = batch.r
+
+            def energy_fn(r):
+                res = model.apply(variables, batch, r, idx_loc,
+                                  train=True)
+                return jnp.sum(res["en_out"] * batch.graph_mask), res
+
+            (_, res), g_r = jax.value_and_grad(
+                energy_fn, has_aux=True)(r_loc)
+            g_r = g_r / gp_size
+            pair_forces = model_cfg.grad_multiplier * g_r
+            if model_cfg.force_mult_natoms:
+                pair_forces = pair_forces * jnp.sum(batch.n_nodes)
+            n_loc = batch.z.shape[0]
+            forces_loc = pair_forces.reshape(n_loc, D, 3).sum(axis=1)
+            if model_cfg.add_reverse_forces:
+                pf_halo = halo_exchange(pair_forces, idx_loc.edge_halo,
+                                        GRAPH_AXIS)
+                pf_rev = pf_halo[idx_loc.rev_halo] \
+                    * batch.edge_mask[:, None]
+                forces_loc = forces_loc - pf_rev.reshape(
+                    n_loc, D, 3).sum(axis=1)
+            if model_cfg.stresswise_weight != 0:
+                outer = jnp.einsum("ei,ej->eij", r_loc, pair_forces)
+                per_graph = jax.lax.psum(
+                    segment_sum(outer, batch.edge_graph,
+                                batch.graph_mask.shape[0]), GRAPH_AXIS)
+                stress = (-model_cfg.stress_multiplier * EV_A3_TO_GPA
+                          * per_graph
+                          / jnp.maximum(batch.volume,
+                                        1e-12)[:, None, None])
+            else:
+                stress = jnp.zeros_like(batch.stress)
+            losses = dense_gp_loss(res, forces_loc, stress, batch,
+                                   model_cfg,
+                                   classification=classification)
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(jax.lax.pmean(grads, GRAPH_AXIS),
+                              data_axis)
+        losses = jax.lax.pmean(jax.lax.pmean(losses, GRAPH_AXIS),
+                               data_axis)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), losses
+
+    def stacked_specs(batch):
+        from alignn_tpu.parallel.graph_parallel import \
+            _pytree_field_names
+
+        fields = {}
+        for name in _pytree_field_names():
+            if name in _NODE_FIELDS or name in _EDGE_FIELDS \
+                    or name in _LG_FIELDS:
+                fields[name] = P(data_axis, GRAPH_AXIS)
+            else:
+                fields[name] = P(data_axis)
+        return batch.replace(**fields)
+
+    def stacked_index_specs(idx):
+        return DenseGPIndex(
+            node_halo=HaloIndex(send_idx=P(data_axis, GRAPH_AXIS),
+                                steps=idx.node_halo.steps),
+            edge_halo=HaloIndex(send_idx=P(data_axis, GRAPH_AXIS),
+                                steps=idx.edge_halo.steps),
+            src_halo=P(data_axis, GRAPH_AXIS),
+            rev_halo=P(data_axis, GRAPH_AXIS),
+            n_shards=idx.n_shards)
+
+    compiled = {}
+    steps_floor = [None]
+
+    def step(state, batch: GraphBatch, idx: DenseGPIndex | None = None):
+        if idx is None:
+            idx = make_stacked_dense_index(batch, gp_size,
+                                           min_steps=steps_floor[0])
+            steps_floor[0] = (idx.node_halo.steps, idx.edge_halo.steps)
+        key = (idx.node_halo.steps, idx.edge_halo.steps, batch.dense_D)
+        if key not in compiled:
+            compiled[key] = jax.jit(shard_map(
+                per_device_step, mesh=mesh,
+                in_specs=(P(), stacked_specs(batch),
+                          stacked_index_specs(idx)),
+                out_specs=(P(), P()), check_rep=False,
+            ), donate_argnums=(0,) if donate else ())
+        return compiled[key](state, batch, idx)
+
+    return step

@@ -105,6 +105,16 @@ def train_model_dp(config, train_loader, val_loader, test_loader=None,
                 raise ValueError(
                     "graph-axis parallelism requires an atomwise model "
                     "(the property model has no edge-partitioned step)")
+            if getattr(train_loader.spec, "dense_D", 0):
+                # dense-layout batches shard with the halo-exchange GP
+                # (parallel/dense_gp.py) instead of the sparse ring
+                from alignn_tpu.parallel.dense_gp import (
+                    make_dp_dense_gp_train_step,
+                )
+
+                return make_dp_dense_gp_train_step(
+                    model.cfg, mesh, classification=classification,
+                    donate=donate)
             return make_dp_gp_train_step(model.cfg, mesh,
                                          classification=classification,
                                          donate=donate)

@@ -398,3 +398,85 @@ def test_dense_gp_train_step_matches_single_chip(supercell):
     for k in pa:
         np.testing.assert_allclose(pb[k], pa[k], rtol=2e-3, atol=2e-5,
                                     err_msg="/".join(k))
+
+
+def test_dp_dense_gp_matches_averaged_single_device():
+    """2-D (data x dense-graph) step on a 2x4 mesh == averaging the two
+    micro-batches' single-device dense gradients — pins the nested
+    psum-transpose scaling through the halo exchange."""
+    import optax
+    from jax.sharding import Mesh
+
+    from alignn_tpu.parallel.dense_gp import (
+        make_dp_dense_gp_train_step,
+    )
+    from alignn_tpu.train.optim import build_optimizer
+    from alignn_tpu.train.state import _forward_and_loss, \
+        create_train_state
+
+    # two micro-batches sharing one dense bucket: one supercell each
+    # (real halo on the graph axis)
+    m0 = _supercell_batch(seed=0)
+    m1 = _supercell_batch(seed=1)
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8,
+        gradwise_weight=1.0, stresswise_weight=0.1)
+    model = ALIGNNAtomWise(cfg=cfg)
+    tx = build_optimizer("adamw", 1e-3, 0.0)
+    state = create_train_state(model, m0, tx)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "graph"))
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0), m0, m1)
+    step = make_dp_dense_gp_train_step(cfg, mesh, donate=False)
+    new_state, losses = step(state, stacked)
+
+    def grad_for(batch):
+        def f(params):
+            loss, (ls, _res, _bs) = _forward_and_loss(
+                model, params, state.batch_stats, batch, "l1", False,
+                train=True)
+            return loss, ls
+
+        return jax.grad(f, has_aux=True)(state.params)
+
+    g0, l0 = grad_for(m0)
+    g1, l1 = grad_for(m1)
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g0, g1)
+    updates, _ = state.tx.update(grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-6)
+    ref_loss = (float(l0["loss"]) + float(l1["loss"])) / 2
+    assert float(jax.device_get(losses["loss"])) == pytest.approx(
+        ref_loss, rel=2e-4)
+
+
+def test_trainer_2d_mesh_dense_layout(tmp_path):
+    """train_model_dp dispatches to the dense halo-GP step when the
+    loader is dense and mesh_shape has graph > 1 — the production
+    config surface for dense graph parallelism."""
+    from alignn_tpu.config import TrainingConfig
+    from alignn_tpu.data.dataset import GraphDataset
+    from alignn_tpu.data.loader import BucketedLoader
+    from alignn_tpu.parallel.dp import train_model_dp
+
+    graphs = _graphs(8, seed=4)
+    ds = GraphDataset(graphs=graphs, ids=[f"s{i}" for i in range(8)])
+    tr = BucketedLoader(ds, batch_size=2, shuffle=True, num_shards=2,
+                        dense=True)
+    va = BucketedLoader(ds, batch_size=2, shuffle=False, dense=True)
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8,
+        gradwise_weight=1.0, stresswise_weight=0.1)
+    tcfg = TrainingConfig(
+        epochs=2, batch_size=2, output_dir=str(tmp_path),
+        learning_rate=1e-3, mesh_shape={"data": 2, "graph": 2},
+        model=cfg)
+    summary = train_model_dp(tcfg, tr, va, n_devices=4)
+    assert np.isfinite(summary["best_val_loss"])
