@@ -6,12 +6,11 @@ with outputs within quantization tolerance of the bf16-storage path.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
-from alignn_tpu.ops.fp8 import E4M3_MAX, fp8_round_trip, quantize_e4m3
+from alignn_tpu.ops.fp8 import fp8_round_trip, quantize_e4m3
 
 
 def test_quantize_roundtrip_error_envelope():
