@@ -170,13 +170,20 @@ def _build_halo(targets: np.ndarray, consumer_mask: np.ndarray,
 
 
 def make_dense_gp_index(batch: GraphBatch, n_shards: int,
-                        quantum: int = 128,
+                        quantum: int = 8,
                         force_steps: tuple | None = None) -> DenseGPIndex:
     """Host-side halo plan for a dense GraphBatch on `n_shards` chips.
 
     `force_steps` = (node_steps, edge_steps) pins the static widths
     (monotone floors across batches keep the jit cache bounded, same
     discipline as gp_batch.make_stacked_ring).
+
+    quantum=8 (the f32 sublane tile): halo payloads are [S, F] with F
+    already lane-aligned, so rows only need sublane quantization — a
+    128-row quantum measured 1.7-4x more wire bytes than needed on
+    512/1728-atom supercells.  Topology-stable workloads (MD, single
+    structures) see no extra jit churn; for shuffled-batch training
+    rely on the monotone step floor.
     """
     if not batch.dense_D:
         raise ValueError("make_dense_gp_index requires a dense batch "
@@ -728,7 +735,7 @@ def make_dense_gp_train_step(model_cfg, mesh: Mesh,
 
 
 def make_stacked_dense_index(stacked: GraphBatch, gp_size: int,
-                             quantum: int = 128,
+                             quantum: int = 8,
                              min_steps: tuple | None = None
                              ) -> DenseGPIndex:
     """Halo plans for a [D_data, ...]-stacked dense batch (dp x gp).
