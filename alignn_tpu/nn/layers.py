@@ -578,4 +578,12 @@ class ALIGNNConv(nn.Module):
             m, z, lg_src, lg_dst, node_mask=edge_mask, edge_mask=lg_mask,
             train=train, edge_weight=lg_weight,
             src_perm=lg_src_perm, src_perm_inv=lg_src_perm_inv)
+        from alignn_tpu.ops.fp8 import fp8_ltables_enabled, \
+            fp8_round_trip
+
+        if fp8_ltables_enabled():
+            # sparse-layout twin of the dense branch's z-stream storage
+            # (ops/fp8.py): the [L, F] residual crossing the layer
+            # boundary lives in e4m3
+            z = fp8_round_trip(z)
         return x, y, z

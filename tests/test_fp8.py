@@ -115,3 +115,47 @@ def test_dense_train_step_with_fp8_ltables(monkeypatch, tmp_path):
     step = make_train_step(model, criterion="l1", donate=False)
     state, losses = step(state, batch)
     assert np.isfinite(float(jax.device_get(losses["loss"])))
+
+
+def test_sparse_forward_with_fp8_ltables(monkeypatch):
+    """Sparse-layout z-stream storage under the flag: outputs within
+    quantization tolerance of the bf16-storage sparse path."""
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+    from alignn_tpu.chem.atoms import Atoms
+    from alignn_tpu.graph.build import build_graph
+    from alignn_tpu.nn.models import (
+        ALIGNNAtomWise,
+        ALIGNNAtomWiseConfig,
+        atomwise_forward,
+    )
+
+    rng = np.random.default_rng(2)
+    base = np.array([
+        [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    graphs = []
+    for i in range(2):
+        atoms = Atoms(lattice_mat=np.eye(3) * 4.1,
+                      frac_coords=base + 0.02 * rng.standard_normal(
+                          (4, 3)),
+                      elements=["Na", "Cl", "K", "Br"])
+        g = build_graph(atoms, cutoff=6.0, max_neighbors=12)
+        g.target = np.array([rng.standard_normal()])
+        g.forces = rng.standard_normal((4, 3)) * 0.1
+        graphs.append(g)
+    batch = batch_graphs(graphs, BucketSpec.tight_for_batch(graphs))
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=2, gcn_layers=1,
+        hidden_features=32, embedding_features=16, gradwise_weight=1.0)
+    model = ALIGNNAtomWise(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    monkeypatch.delenv("ALIGNN_TPU_FP8_LTABLES", raising=False)
+    ref = atomwise_forward(model, variables, batch, train=False)
+    monkeypatch.setenv("ALIGNN_TPU_FP8_LTABLES", "1")
+    fp8 = atomwise_forward(model, variables, batch, train=False)
+    np.testing.assert_allclose(np.asarray(fp8["out"]),
+                               np.asarray(ref["out"]), rtol=0.05,
+                               atol=5e-3)
+    scale = np.abs(np.asarray(ref["grad"])).max() + 1e-9
+    assert np.abs(np.asarray(fp8["grad"])
+                  - np.asarray(ref["grad"])).max() / scale < 0.15
