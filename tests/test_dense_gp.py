@@ -480,3 +480,46 @@ def test_trainer_2d_mesh_dense_layout(tmp_path):
         model=cfg)
     summary = train_model_dp(tcfg, tr, va, n_devices=4)
     assert np.isfinite(summary["best_val_loss"])
+
+
+def test_stacked_dense_index_shared_floors():
+    """Stacked (dp x gp) halo plans share ONE static step tuple across
+    data rows (elementwise max, min_steps floor honored) and every
+    row's remap stays correct under the forced widths."""
+    from alignn_tpu.parallel.dense_gp import (
+        make_dense_gp_index,
+        make_stacked_dense_index,
+    )
+
+    rows = [_supercell_batch(seed=s) for s in (0, 1)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0), *rows)
+    idx = make_stacked_dense_index(stacked, 4)
+    per_row = [make_dense_gp_index(r, 4) for r in rows]
+    for k in range(3):
+        assert idx.node_halo.steps[k] == max(
+            p.node_halo.steps[k] for p in per_row)
+    # min_steps floor wins where larger
+    floor = (tuple(s + 8 for s in idx.node_halo.steps),
+             tuple(s + 8 for s in idx.edge_halo.steps))
+    idx2 = make_stacked_dense_index(stacked, 4, min_steps=floor)
+    assert idx2.node_halo.steps == floor[0]
+    assert idx2.edge_halo.steps == floor[1]
+    # remap correctness under forcing: chip-0 host emulation per row
+    for irow, row in enumerate(rows):
+        t = np.asarray(row.src)
+        mask = np.asarray(row.edge_mask)
+        rows_loc = t.shape[0] // 4  # edge rows per shard? node space:
+        n_loc = np.asarray(row.z).shape[0] // 4
+        table = np.random.default_rng(irow).standard_normal(
+            (np.asarray(row.z).shape[0], 3)).astype(np.float32)
+        from alignn_tpu.parallel.dense_gp import HaloIndex
+
+        halo = HaloIndex(send_idx=idx2.node_halo.send_idx[irow],
+                         steps=idx2.node_halo.steps)
+        got = _halo_gather_host(table, halo,
+                                idx2.src_halo[irow], 0, n_loc)
+        live = mask.reshape(4, -1)[0] > 0.5
+        want = table[t].reshape(4, -1, 3)[0]
+        np.testing.assert_allclose(got[live], want[live], rtol=0,
+                                   atol=0)
