@@ -9,7 +9,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 WORK=${1:-/tmp/long_soak_r4}
 mkdir -p "$WORK"
 cat > "$WORK/config.json" <<'CFG'
-{"epochs": 2000, "batch_size": 8, "n_train": 40, "n_val": 5, "n_test": 5,
+{"epochs": 1200, "batch_size": 8, "n_train": 40, "n_val": 5, "n_test": 5,
  "learning_rate": 0.001, "keep_data_order": true,
  "dense_neighborhoods": true, "dtype": "bfloat16",
  "model": {"name": "alignn_atomwise", "alignn_layers": 4,
@@ -32,6 +32,6 @@ timeout -s KILL 2100 python -u -m alignn_tpu.cli.train \
   --output_dir "$WORK/out" >> "$WORK/log.txt" 2>&1
 echo "KILLED leg1 rc=$? at $(date +%T)" >> "$WORK/log.txt"
 # leg 2: resume and run to completion (bounded)
-run 14000
+run 7200
 echo "soak done $(date)" >> "$WORK/log.txt"
 grep -ac "^epoch" "$WORK/log.txt" >> "$WORK/log.txt"
