@@ -57,15 +57,26 @@ def enable_persistent_cache(path=None, min_compile_secs=1.0):
 def _non_cpu_platform_configured(jax):
     """True when a non-CPU backend is configured, without backend init.
 
-    Positive-evidence rule: the first entry of jax_platforms (config or
-    JAX_PLATFORMS env) names a non-cpu platform, or the axon TPU plugin
-    is armed (PALLAS_AXON_POOL_IPS — it wins platform discovery when
-    set, CLAUDE.md tunnel notes).  Unknown => False, so a bare CPU run
-    never pays cache-dir setup by default.
+    Positive-evidence rules (each checkable without initializing any
+    backend): the first entry of jax_platforms (config or JAX_PLATFORMS
+    env) names a non-cpu platform; the axon TPU plugin is armed
+    (PALLAS_AXON_POOL_IPS — it wins platform discovery when set,
+    CLAUDE.md tunnel notes); a standard TPU VM's runtime is present
+    (libtpu importable or /dev/accel* device nodes — jax would
+    auto-discover it, and those hosts are exactly where the cache saves
+    minutes of compile).  Unknown => False, so a bare CPU run never
+    pays cache-dir setup by default.
     """
     plats = (getattr(jax.config, "jax_platforms", None)
              or os.environ.get("JAX_PLATFORMS") or "")
     first = plats.split(",")[0].strip().lower()
     if first:
         return first != "cpu"
-    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    import glob
+    import importlib.util
+
+    if glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*"):
+        return True
+    return importlib.util.find_spec("libtpu") is not None

@@ -36,7 +36,9 @@ E4M3_MAX = 448.0
 def fp8_ltables_enabled() -> bool:
     import os
 
-    return bool(os.environ.get("ALIGNN_TPU_FP8_LTABLES"))
+    # repo env-knob convention (bench.env_on): unset, empty, and "0"
+    # all mean OFF — `for v in 0 1` A/B sweeps must get two real arms
+    return os.environ.get("ALIGNN_TPU_FP8_LTABLES", "") not in ("", "0")
 
 
 def quantize_e4m3(x):

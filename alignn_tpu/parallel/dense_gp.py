@@ -199,23 +199,24 @@ def make_dense_gp_index(batch: GraphBatch, n_shards: int,
     edge_halo, rev_halo = _build_halo(
         np.asarray(batch.rev), em, e // n_shards, n_shards, quantum)
     if force_steps is not None:
-        node_halo, src_halo = _rebuild_forced(
-            np.asarray(batch.src), em, n // n_shards, n_shards, quantum,
-            force_steps[0])
-        edge_halo, rev_halo = _rebuild_forced(
-            np.asarray(batch.rev), em, e // n_shards, n_shards, quantum,
-            force_steps[1])
+        node_halo, src_halo = _repack_forced(
+            node_halo, src_halo, n // n_shards, force_steps[0])
+        edge_halo, rev_halo = _repack_forced(
+            edge_halo, rev_halo, e // n_shards, force_steps[1])
     return DenseGPIndex(node_halo=node_halo, edge_halo=edge_halo,
                         src_halo=src_halo, rev_halo=rev_halo,
                         n_shards=n_shards)
 
 
-def _rebuild_forced(targets, mask, rows, d, quantum, steps):
-    """Re-pad a halo plan into forced (>= required) static step widths."""
-    halo, remap = _build_halo(targets, mask, rows, d, quantum)
+def _repack_forced(halo: HaloIndex, remap, rows, steps):
+    """Re-pad an already-built halo plan into forced (>= required)
+    static step widths — a cheap array shuffle, no _build_halo rerun
+    (the planner runs on the per-step host hot path via
+    make_stacked_dense_index)."""
     if any(a > b for a, b in zip(halo.steps, steps)):
         raise ValueError(f"forced halo steps {steps} < required "
                          f"{halo.steps}")
+    d = halo.send_idx.shape[0]
     send = np.zeros((d, sum(steps)), dtype=np.int32)
     src_off = dst_off = 0
     for a, b in zip(halo.steps, steps):
@@ -478,14 +479,16 @@ def _squeeze_index(idx: DenseGPIndex) -> DenseGPIndex:
         n_shards=idx.n_shards)
 
 
-def dense_gp_device_outputs(model, model_cfg, variables,
-                            batch: GraphBatch, idx: DenseGPIndex,
-                            n_devices: int, train: bool = False):
-    """Per-device GP-dense forward body: (out, forces, stress, res).
+def _device_energy_forces_stress(model, model_cfg, variables,
+                                 batch: GraphBatch, idx: DenseGPIndex,
+                                 gp_size: int, train: bool):
+    """Shared per-device E/F/S assembly: (res, forces_loc, stress).
 
-    Same psum-transpose correction as the sparse GP
-    (graph_parallel.gp_device_outputs): grads of psum-containing
-    forwards are Dc x the local share.
+    One copy of the grad correction + force halo + virial (previously
+    triplicated across the forward and both train steps — they had
+    already drifted on cfg.batch_stress).  Same psum-transpose
+    correction as the sparse GP (graph_parallel.gp_device_outputs):
+    grads of psum-containing forwards are Dc x the local share.
     """
     r_loc = batch.r
     D = batch.dense_D
@@ -495,7 +498,7 @@ def dense_gp_device_outputs(model, model_cfg, variables,
         return jnp.sum(res["en_out"] * batch.graph_mask), res
 
     (_, res), g_r = jax.value_and_grad(energy_fn, has_aux=True)(r_loc)
-    g_r = g_r / n_devices
+    g_r = g_r / gp_size
     pair_forces = model_cfg.grad_multiplier * g_r
     if model_cfg.force_mult_natoms:
         pair_forces = pair_forces * jnp.sum(batch.n_nodes)
@@ -510,18 +513,31 @@ def dense_gp_device_outputs(model, model_cfg, variables,
         forces_loc = forces_ji - pf_rev.reshape(n_loc, D, 3).sum(axis=1)
     else:
         forces_loc = forces_ji
-    forces = jax.lax.all_gather(forces_loc, GRAPH_AXIS).reshape(-1, 3)
 
     if model_cfg.stresswise_weight != 0:
         outer = jnp.einsum("ei,ej->eij", r_loc, pair_forces)
         per_graph = segment_sum(outer, batch.edge_graph,
                                 batch.graph_mask.shape[0])
         per_graph = jax.lax.psum(per_graph, GRAPH_AXIS)
+        # batch_stress=False: the reference's /(2V) convention
+        # (nn/models.atomwise_forward mirrors this)
+        div = 2.0 if not getattr(model_cfg, "batch_stress", True) else 1.0
         stress = (-model_cfg.stress_multiplier * EV_A3_TO_GPA
                   * per_graph
-                  / jnp.maximum(batch.volume, 1e-12)[:, None, None])
+                  / (div * jnp.maximum(batch.volume,
+                                       1e-12)[:, None, None]))
     else:
         stress = jnp.zeros_like(batch.stress)
+    return res, forces_loc, stress
+
+
+def dense_gp_device_outputs(model, model_cfg, variables,
+                            batch: GraphBatch, idx: DenseGPIndex,
+                            n_devices: int, train: bool = False):
+    """Per-device GP-dense forward body: (out, forces, stress, res)."""
+    res, forces_loc, stress = _device_energy_forces_stress(
+        model, model_cfg, variables, batch, idx, n_devices, train)
+    forces = jax.lax.all_gather(forces_loc, GRAPH_AXIS).reshape(-1, 3)
     return res["out"], forces, stress, res
 
 
@@ -650,45 +666,14 @@ def make_dense_gp_train_step(model_cfg, mesh: Mesh,
     def per_device_step(state: TrainState, batch: GraphBatch,
                         idx: DenseGPIndex):
         idx_loc = _squeeze_index(idx)
-        D = batch.dense_D
 
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            r_loc = batch.r
-
-            def energy_fn(r):
-                res = model.apply(variables, batch, r, idx_loc,
-                                  train=True)
-                return jnp.sum(res["en_out"] * batch.graph_mask), res
-
-            (_, res), g_r = jax.value_and_grad(
-                energy_fn, has_aux=True)(r_loc)
-            g_r = g_r / n_devices
-            pair_forces = model_cfg.grad_multiplier * g_r
-            if model_cfg.force_mult_natoms:
-                pair_forces = pair_forces * jnp.sum(batch.n_nodes)
-            n_loc = batch.z.shape[0]
-            forces_loc = pair_forces.reshape(n_loc, D, 3).sum(axis=1)
-            if model_cfg.add_reverse_forces:
-                pf_halo = halo_exchange(pair_forces, idx_loc.edge_halo,
-                                        GRAPH_AXIS)
-                pf_rev = pf_halo[idx_loc.rev_halo] \
-                    * batch.edge_mask[:, None]
-                forces_loc = forces_loc - pf_rev.reshape(
-                    n_loc, D, 3).sum(axis=1)
-            if model_cfg.stresswise_weight != 0:
-                outer = jnp.einsum("ei,ej->eij", r_loc, pair_forces)
-                per_graph = jax.lax.psum(
-                    segment_sum(outer, batch.edge_graph,
-                                batch.graph_mask.shape[0]), GRAPH_AXIS)
-                stress = (-model_cfg.stress_multiplier * EV_A3_TO_GPA
-                          * per_graph
-                          / jnp.maximum(batch.volume,
-                                        1e-12)[:, None, None])
-            else:
-                stress = jnp.zeros_like(batch.stress)
+            res, forces_loc, stress = _device_energy_forces_stress(
+                model, model_cfg, variables, batch, idx_loc, n_devices,
+                train=True)
             losses = dense_gp_loss(res, forces_loc, stress, batch,
                                    model_cfg,
                                    classification=classification)
@@ -748,6 +733,8 @@ def make_stacked_dense_index(stacked: GraphBatch, gp_size: int,
     n_rows = int(np.asarray(stacked.src).shape[0])
     rows = [jax.tree_util.tree_map(lambda x, i=i: np.asarray(x)[i],
                                    stacked) for i in range(n_rows)]
+    # plan each row ONCE; the forced widths are a cheap repack (this
+    # runs on the per-step host hot path when callers pass idx=None)
     first = [make_dense_gp_index(r, gp_size, quantum) for r in rows]
     node_steps = tuple(max(ix.node_halo.steps[k] for ix in first)
                        for k in range(gp_size - 1))
@@ -758,9 +745,17 @@ def make_stacked_dense_index(stacked: GraphBatch, gp_size: int,
                            zip(node_steps, min_steps[0]))
         edge_steps = tuple(max(a, b) for a, b in
                            zip(edge_steps, min_steps[1]))
-    idxs = [make_dense_gp_index(r, gp_size, quantum,
-                                force_steps=(node_steps, edge_steps))
-            for r in rows]
+    n_loc = int(np.asarray(stacked.z).shape[1]) // gp_size
+    e_loc = int(np.asarray(stacked.src).shape[1]) // gp_size
+    idxs = []
+    for ix in first:
+        nh, sh = _repack_forced(ix.node_halo, ix.src_halo, n_loc,
+                                node_steps)
+        eh, rh = _repack_forced(ix.edge_halo, ix.rev_halo, e_loc,
+                                edge_steps)
+        idxs.append(DenseGPIndex(node_halo=nh, edge_halo=eh,
+                                 src_halo=sh, rev_halo=rh,
+                                 n_shards=gp_size))
     return DenseGPIndex(
         node_halo=HaloIndex(
             send_idx=np.stack([ix.node_halo.send_idx for ix in idxs]),
@@ -801,45 +796,14 @@ def make_dp_dense_gp_train_step(model_cfg, mesh: Mesh,
                                 steps=idx.edge_halo.steps),
             src_halo=idx.src_halo[0, 0], rev_halo=idx.rev_halo[0, 0],
             n_shards=idx.n_shards)
-        D = batch.dense_D
 
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            r_loc = batch.r
-
-            def energy_fn(r):
-                res = model.apply(variables, batch, r, idx_loc,
-                                  train=True)
-                return jnp.sum(res["en_out"] * batch.graph_mask), res
-
-            (_, res), g_r = jax.value_and_grad(
-                energy_fn, has_aux=True)(r_loc)
-            g_r = g_r / gp_size
-            pair_forces = model_cfg.grad_multiplier * g_r
-            if model_cfg.force_mult_natoms:
-                pair_forces = pair_forces * jnp.sum(batch.n_nodes)
-            n_loc = batch.z.shape[0]
-            forces_loc = pair_forces.reshape(n_loc, D, 3).sum(axis=1)
-            if model_cfg.add_reverse_forces:
-                pf_halo = halo_exchange(pair_forces, idx_loc.edge_halo,
-                                        GRAPH_AXIS)
-                pf_rev = pf_halo[idx_loc.rev_halo] \
-                    * batch.edge_mask[:, None]
-                forces_loc = forces_loc - pf_rev.reshape(
-                    n_loc, D, 3).sum(axis=1)
-            if model_cfg.stresswise_weight != 0:
-                outer = jnp.einsum("ei,ej->eij", r_loc, pair_forces)
-                per_graph = jax.lax.psum(
-                    segment_sum(outer, batch.edge_graph,
-                                batch.graph_mask.shape[0]), GRAPH_AXIS)
-                stress = (-model_cfg.stress_multiplier * EV_A3_TO_GPA
-                          * per_graph
-                          / jnp.maximum(batch.volume,
-                                        1e-12)[:, None, None])
-            else:
-                stress = jnp.zeros_like(batch.stress)
+            res, forces_loc, stress = _device_energy_forces_stress(
+                model, model_cfg, variables, batch, idx_loc, gp_size,
+                train=True)
             losses = dense_gp_loss(res, forces_loc, stress, batch,
                                    model_cfg,
                                    classification=classification)

@@ -90,10 +90,23 @@ def load_params(path: str) -> Tuple[Dict, Dict]:
     return payload["params"], payload.get("batch_stats", {})
 
 
+def load_params_with_meta(path: str) -> Tuple[Dict, Dict,
+                                              Dict[str, Any]]:
+    """(params, batch_stats, meta) in ONE restore — callers that also
+    want the provenance stamp must not pay a second full-payload
+    msgpack_restore (restart.mpk carries the optimizer moments too)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return (payload["params"], payload.get("batch_stats", {}),
+            payload.get("meta") or {})
+
+
 def load_meta(path: str) -> Dict[str, Any]:
     """Metadata stamped into a .mpk checkpoint ({} for pre-provenance
     files).  Works for both save_params payloads ("meta") and
-    save_train_state payloads ("extra")."""
+    save_train_state payloads ("extra").  NOTE: restores the full
+    payload — on a load path prefer load_params_with_meta /
+    load_train_state(with_extra=True)."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     meta = payload.get("meta") or {}

@@ -128,25 +128,25 @@ def train_model(
     from alignn_tpu.train.checkpoint import (
         check_feature_table,
         checkpoint_meta,
-        load_meta,
     )
 
     ckpt_meta = checkpoint_meta(config.atom_features)
 
     start_epoch = 0
     if restart_state_path and os.path.exists(restart_state_path):
-        check_feature_table(load_meta(restart_state_path),
+        state, start_epoch, extra = load_train_state(
+            restart_state_path, state, with_extra=True)
+        check_feature_table(extra.get("meta"),
                             config.atom_features, restart_state_path)
-        state, start_epoch = load_train_state(restart_state_path, state)
         print(f"restored full train state from {restart_state_path} "
               f"(epoch {start_epoch})")
     elif restart_params_path and os.path.exists(restart_params_path):
-        from alignn_tpu.train.checkpoint import load_params
+        from alignn_tpu.train.checkpoint import load_params_with_meta
         from flax import serialization
 
-        check_feature_table(load_meta(restart_params_path),
-                            config.atom_features, restart_params_path)
-        p, bs = load_params(restart_params_path)
+        p, bs, meta = load_params_with_meta(restart_params_path)
+        check_feature_table(meta, config.atom_features,
+                            restart_params_path)
         state = state.replace(
             params=serialization.from_state_dict(state.params, p),
             batch_stats=serialization.from_state_dict(
@@ -183,6 +183,17 @@ def train_model(
                     pass
     best_loss = np.inf
     no_improve = 0
+    if history_val:
+        # resuming: restore the best-so-far and the early-stopping
+        # patience position from the preloaded history — a fresh
+        # best_loss=inf would let the first post-resume epoch clobber
+        # best_model.mpk with worse weights and re-arm early stopping
+        val_losses = [row[0] for row in history_val
+                      if isinstance(row, (list, tuple)) and row]
+        if val_losses:
+            best_loss = float(min(val_losses))
+            since_best = len(val_losses) - 1 - int(np.argmin(val_losses))
+            no_improve = since_best
     epochs_run = 0
     for epoch in range(start_epoch, config.epochs):
         epochs_run += 1

@@ -135,16 +135,15 @@ def load_model_dir(model_dir: str):
 
         from alignn_tpu.train.checkpoint import (
             check_feature_table,
-            load_meta,
-            load_params,
+            load_params_with_meta,
         )
 
         # converted checkpoints are numerically tied to the feature
         # table active at conversion time — warn loudly if it changed
         # (e.g. an exact jarvis table was vendored since; VERDICT r3 #5)
-        check_feature_table(load_meta(mpk),
-                            cfg_dict.get("atom_features", "cgcnn"), mpk)
-        p, bs = load_params(mpk)
+        p, bs, meta = load_params_with_meta(mpk)
+        check_feature_table(meta, cfg_dict.get("atom_features", "cgcnn"),
+                            mpk)
         variables = dict(variables)
         variables["params"] = serialization.from_state_dict(
             variables["params"], p)

@@ -523,3 +523,23 @@ def test_stacked_dense_index_shared_floors():
         want = table[t].reshape(4, -1, 3)[0]
         np.testing.assert_allclose(got[live], want[live], rtol=0,
                                    atol=0)
+
+
+def test_dense_gp_batch_stress_false_parity():
+    """cfg.batch_stress=False uses the reference's /(2V) convention —
+    the GP assembly must apply the same divisor as the single-chip
+    path (review finding: it was hardcoded to the default)."""
+    batch = _dense_batch()
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=16, embedding_features=8,
+        gradwise_weight=1.0, stresswise_weight=0.1, batch_stress=False)
+    model = ALIGNNAtomWise(cfg=cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, batch.r,
+                           train=False)
+    ref = atomwise_forward(model, variables, batch, train=False)
+    mesh = make_mesh(8, axis_names=("graph",))
+    fwd = make_dense_gp_forward(cfg, mesh, variables)
+    _out, _forces, stress = jax.device_get(fwd(batch))
+    np.testing.assert_allclose(stress, np.asarray(ref["stresses"]),
+                               rtol=2e-4, atol=2e-6)

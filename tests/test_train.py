@@ -389,3 +389,38 @@ def test_resume_trajectory_equivalence(tmp_path):
     for k in pa:
         np.testing.assert_allclose(pb[k], pa[k], rtol=1e-6, atol=1e-7,
                                    err_msg="/".join(k))
+
+
+def test_resume_restores_best_and_patience(tmp_path):
+    """Resume must restore best-so-far val loss and the early-stopping
+    patience position from the preloaded history — a fresh
+    best_loss=inf would clobber best_model.mpk with worse weights."""
+    records = _property_records(10)
+    kw = dict(batch_size=2, n_train=6, n_val=2, n_test=2,
+              keep_data_order=True)
+    out = str(tmp_path / "run")
+    base = dict(
+        epochs=6, learning_rate=1e-3, scheduler="onecycle_full", **kw,
+        model=ALIGNNConfig(name="alignn", alignn_layers=1, gcn_layers=1,
+                           hidden_features=32, embedding_features=16))
+    tr, va, te, _ = get_train_val_loaders(records, output_dir=out, **kw)
+    cfg = TrainingConfig(output_dir=out, **base)
+    s1 = train_model(cfg, tr, va, te)
+    hist = json.load(open(os.path.join(out, "history_val.json")))
+    best_overall = min(h[0] for h in hist)
+    assert s1["best_val_loss"] == pytest.approx(best_overall)
+
+    # truncate to a 4-epoch "kill" point AFTER the best epoch, then
+    # resume: the reported best must still be the pre-kill best (not a
+    # worse post-resume epoch), and best_model.mpk must be untouched
+    # unless genuinely improved
+    import shutil
+
+    shutil.copy(os.path.join(out, "best_model.mpk"),
+                os.path.join(out, "best_before.mpk"))
+    s2 = train_model(cfg, tr, va, te,
+                     restart_state_path=os.path.join(out, "restart.mpk"))
+    # restart.mpk is at epoch 6 == config.epochs -> zero epochs run,
+    # but the summary still reports the restored best
+    assert s2["epochs_run"] == 0
+    assert s2["best_val_loss"] == pytest.approx(best_overall)
