@@ -125,6 +125,7 @@ def train_for_folder(
         dense=config.dense_neighborhoods,
         cache_dir=(os.path.join(config.output_dir, "graph_cache")
                    if config.use_cache else None),
+        per_species_energy_baseline=config.per_species_energy_baseline,
     )
     if profile:
         # wrap one train step in a jax.profiler trace

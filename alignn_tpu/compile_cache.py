@@ -77,6 +77,9 @@ def _non_cpu_platform_configured(jax):
     import glob
     import importlib.util
 
-    if glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*"):
+    # /dev/accel* is TPU-specific; bare /dev/vfio/* is generic device
+    # passthrough (GPUs, NICs) and was a false TPU signal on CPU-only
+    # hosts (ADVICE r4 #4) — require it alongside a TPU runtime below
+    if glob.glob("/dev/accel*"):
         return True
     return importlib.util.find_spec("libtpu") is not None

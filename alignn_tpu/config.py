@@ -164,6 +164,19 @@ class TrainingConfig:
     # axis reductions and the L(g) index arrays are implicit.  k-NN
     # graphs only (near-uniform degree).
     dense_neighborhoods: bool = False
+    # Per-species reference-energy baseline (TPU-framework extension;
+    # VERDICT r4 #2): least-squares elemental offsets are fit on the
+    # TRAIN split's per-atom graph targets, subtracted from every
+    # split's targets before training, saved to
+    # <output_dir>/species_baseline.json, and added back at predict
+    # time (zoo.load_model_dir / ff Calculator).  Meant for multi-
+    # element total-energy datasets (e.g. the combined mlearn `all`
+    # set) where inter-element offsets span many eV/atom and a
+    # mean-predictor energy head would otherwise dominate the loss.
+    # Assumes the graph-level target is an energy PER ATOM (the
+    # bundled mlearn convention, reference prepare_mlearn.py
+    # `j / atoms.num_atoms`).
+    per_species_energy_baseline: bool = False
     # model configuration
     model: Union[ALIGNNConfig, ALIGNNAtomWiseConfig, Any] = field(
         default_factory=lambda: ALIGNNAtomWiseConfig(name="alignn_atomwise"))

@@ -318,6 +318,7 @@ def get_train_val_loaders(
     progress: bool = False,
     cache_dir: Optional[str] = None,
     dense: bool = False,
+    per_species_energy_baseline: bool = False,
 ):
     """Records -> (train_loader, val_loader, test_loader, mad).
 
@@ -350,6 +351,29 @@ def get_train_val_loaders(
         },
         os.path.join(output_dir, "ids_train_val_test.json"),
     )
+
+    if per_species_energy_baseline:
+        # fit elemental offsets on the TRAIN split only, residualize
+        # every split's targets, persist the offsets for predict-time
+        # add-back (data/baseline.py; stamped into checkpoints by the
+        # trainer, applied by zoo.load_model_dir / ff.Calculator).
+        # Mutating `dat` BEFORE make_ds means the cache fingerprint
+        # (which hashes targets) invalidates automatically.
+        from alignn_tpu.data.baseline import (
+            baseline_per_atom,
+            fit_species_baseline,
+        )
+
+        mu = fit_species_baseline([dat[i] for i in id_train])
+        dat = [{**r, "target":
+                float(np.asarray(r["target"],
+                                 dtype=np.float64).reshape(-1)[0]
+                      - baseline_per_atom(r["atoms"]["elements"], mu))}
+               for r in dat]
+        dumpjson({"per_atom": True, "elements": mu},
+                 os.path.join(output_dir, "species_baseline.json"))
+        print(f"[baseline] per-species reference energies (eV/atom): "
+              f"{ {k: round(v, 4) for k, v in mu.items()} }")
 
     graph_kwargs = dict(
         neighbor_strategy=neighbor_strategy, cutoff=cutoff,

@@ -127,6 +127,15 @@ class Calculator:
                    for f in _dc.fields(type(self.model))
                    if f.name != "cfg" and not f.name.startswith("_")})
 
+        # per-species reference-energy add-back (data/baseline.py): a
+        # model trained on residual targets
+        # (config.per_species_energy_baseline) predicts E/atom MINUS
+        # sum_s x_s mu_s; restore physical energies by adding
+        # sum_atoms mu(el) to the (extensive) energy
+        sb = self.config.get("species_baseline") or {}
+        self.species_baseline = sb.get("elements") if isinstance(
+            sb, dict) else None
+
         self.neighbor_strategy = self.config.get(
             "neighbor_strategy", "radius_graph")
         self.cutoff = float(self.config.get("cutoff", 8.0))
@@ -363,6 +372,9 @@ class Calculator:
         energy = float(np.asarray(out)[0, 0])
         if self.intensive:
             energy *= n
+        if self.species_baseline:
+            energy += float(sum(self.species_baseline.get(el, 0.0)
+                                for el in atoms.elements))
         forces = np.asarray(grad)[:n] * self.force_multiplier
         if self.force_mult_natoms:
             forces = forces * n

@@ -343,7 +343,17 @@ class DenseGPPairStage(nn.Module):
         y_new = Dense(f, dtype=self.dtype, name="src_update")(m_loc) + h
         y_new = nn.silu(MaskedLayerNorm(name="norm_nodes")(y_new))
         z_new = nn.silu(MaskedLayerNorm(name="norm_edges")(m2))
-        return m_loc + y_new, z_loc + z_new
+        z_out = z_loc + z_new
+        from alignn_tpu.ops.fp8 import fp8_ltables_enabled, \
+            fp8_round_trip
+
+        if fp8_ltables_enabled():
+            # keep the GP path numerically identical to the single-chip
+            # dense/sparse layer-boundary z-stream storage (ADVICE r4
+            # #3): the [L_loc, F] residual crossing the layer boundary
+            # lives in e4m3 under ALIGNN_TPU_FP8_LTABLES=1
+            z_out = fp8_round_trip(z_out)
+        return m_loc + y_new, z_out
 
 
 class _DenseGPALIGNNConv(nn.Module):

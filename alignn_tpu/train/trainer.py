@@ -131,6 +131,14 @@ def train_model(
     )
 
     ckpt_meta = checkpoint_meta(config.atom_features)
+    sb_path = os.path.join(output_dir, "species_baseline.json")
+    if os.path.exists(sb_path):
+        # per-species reference energies the loader subtracted from the
+        # targets (config.per_species_energy_baseline): stamp them into
+        # every checkpoint so predict-time add-back travels WITH the
+        # weights, not just the run directory (data/baseline.py)
+        with open(sb_path) as f:
+            ckpt_meta["species_baseline"] = json.load(f)
 
     start_epoch = 0
     if restart_state_path and os.path.exists(restart_state_path):
@@ -183,13 +191,18 @@ def train_model(
                     pass
     best_loss = np.inf
     no_improve = 0
-    if history_val:
+    if history_val and len(val_loader):
         # resuming: restore the best-so-far and the early-stopping
         # patience position from the preloaded history — a fresh
         # best_loss=inf would let the first post-resume epoch clobber
-        # best_model.mpk with worse weights and re-arm early stopping
+        # best_model.mpk with worse weights and re-arm early stopping.
+        # Guarded on a non-empty val loader, and all-zero rows are
+        # dropped: an earlier no-validation session appends placeholder
+        # [0,0,...] rows, and restoring best_loss=0 would make a later
+        # real val signal unable to ever improve best (ADVICE r4 #1)
         val_losses = [row[0] for row in history_val
-                      if isinstance(row, (list, tuple)) and row]
+                      if isinstance(row, (list, tuple)) and row
+                      and any(v != 0.0 for v in row)]
         if val_losses:
             best_loss = float(min(val_losses))
             since_best = len(val_losses) - 1 - int(np.argmin(val_losses))

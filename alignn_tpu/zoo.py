@@ -130,6 +130,13 @@ def load_model_dir(model_dir: str):
 
     mpk = _find(model_dir, ["best_model.mpk", "last_model.mpk",
                             "current_model.mpk", ".mpk"])
+    if mpk is not None and os.path.basename(mpk) == "converted_model.mpk":
+        # conversion cache written below: a replaced/updated .pt must
+        # win over a stale cached conversion (ADVICE r4 #2)
+        pt_src = _find(model_dir, [".pt"])
+        if pt_src is not None and \
+                os.path.getmtime(pt_src) > os.path.getmtime(mpk):
+            mpk = None
     if mpk is not None:
         from flax import serialization
 
@@ -144,9 +151,31 @@ def load_model_dir(model_dir: str):
         p, bs, meta = load_params_with_meta(mpk)
         check_feature_table(meta, cfg_dict.get("atom_features", "cgcnn"),
                             mpk)
+        # per-species reference-energy add-back (data/baseline.py):
+        # prefer the stamp riding the checkpoint, fall back to the run
+        # directory's species_baseline.json
+        sb = meta.get("species_baseline")
+        if sb is None:
+            sb_path = _find(model_dir, ["species_baseline.json"])
+            if sb_path is not None:
+                with open(sb_path) as f:
+                    sb = json.load(f)
+        if sb is not None:
+            cfg_dict = {**cfg_dict, "species_baseline": sb}
         variables = dict(variables)
-        variables["params"] = serialization.from_state_dict(
-            variables["params"], p)
+        template = variables["params"]
+        restored = serialization.from_state_dict(template, p)
+        # committed/distribution checkpoints may store weights in f16
+        # (tools/commit_potentials.py halves the repo weight; measured
+        # 5e-5 eV/atom on the Si potential) — restore the template's
+        # compute dtype so the forward never runs mixed-precision
+        import jax as _jax
+
+        variables["params"] = _jax.tree_util.tree_map(
+            lambda t, x: np.asarray(x).astype(t.dtype)
+            if (hasattr(x, "dtype") and hasattr(t, "dtype")
+                and x.dtype != t.dtype) else x,
+            template, restored)
         if bs and "batch_stats" in variables:
             variables["batch_stats"] = serialization.from_state_dict(
                 variables["batch_stats"], bs)
@@ -178,12 +207,18 @@ def load_model_dir(model_dir: str):
         from alignn_tpu.train.checkpoint import checkpoint_meta, \
             save_params
 
+        cache_path = os.path.join(os.path.dirname(pt),
+                                  "converted_model.mpk")
+        # atomic publish (ADVICE r4 #2): a concurrent loader must never
+        # msgpack_restore a partially written cache file
+        tmp_path = cache_path + f".tmp.{os.getpid()}"
         save_params(
-            os.path.join(os.path.dirname(pt), "converted_model.mpk"),
+            tmp_path,
             variables["params"], variables.get("batch_stats"),
             meta=checkpoint_meta(
                 cfg_dict.get("atom_features", "cgcnn"),
                 converted_from=os.path.basename(pt)))
+        os.replace(tmp_path, cache_path)
     except OSError:  # read-only model dir: conversion stays in-memory
         pass
     return model, variables, cfg_dict
