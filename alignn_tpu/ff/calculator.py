@@ -57,7 +57,8 @@ class Calculator:
                  force_mult_natoms: bool = False, stress_wt: float = 1.0,
                  bucket_slack: float = 1.3, skin: float = 0.3,
                  dense: Optional[bool] = None,
-                 force_mult_batchsize: bool = False):
+                 force_mult_batchsize: bool = False,
+                 tie_tol: float = 1e-6):
         if model is None:
             from alignn_tpu.zoo import load_model_dir
 
@@ -138,6 +139,12 @@ class Calculator:
 
         self.neighbor_strategy = self.config.get(
             "neighbor_strategy", "radius_graph")
+        # scale-invariant k-NN shell ties (graph/build.py tie_tol
+        # docstring): exact-compare tie flicker puts ~0.01 eV/atom
+        # steps into EOS volume scans and FD phonons — derivative
+        # observables need a stable edge set.  0.0 restores exact
+        # reference-parity graph construction.
+        self.tie_tol = float(tie_tol)
         self.cutoff = float(self.config.get("cutoff", 8.0))
         self.max_neighbors = int(self.config.get("max_neighbors", 12))
         self.use_canonize = bool(self.config.get("use_canonize", True))
@@ -250,12 +257,14 @@ class Calculator:
             return build_graph(
                 atoms, neighbor_strategy=self.neighbor_strategy,
                 cutoff=self.cutoff, max_neighbors=self.max_neighbors,
-                use_canonize=self.use_canonize)
+                use_canonize=self.use_canonize,
+                tie_tol=self.tie_tol)
         gc = build_graph(
             atoms, neighbor_strategy=self.neighbor_strategy,
             cutoff=self.cutoff + self.skin,
             max_neighbors=self.max_neighbors,
-            use_canonize=self.use_canonize, compute_line_graph=False)
+            use_canonize=self.use_canonize, compute_line_graph=False,
+            tie_tol=self.tie_tol)
         self._nl_graph = gc
         self._nl_cart0 = cart.copy()
         self._nl_lat0 = atoms.lattice_mat.copy()
@@ -273,7 +282,8 @@ class Calculator:
             return build_graph(
                 atoms, neighbor_strategy=self.neighbor_strategy,
                 cutoff=self.cutoff, max_neighbors=self.max_neighbors,
-                use_canonize=self.use_canonize)
+                use_canonize=self.use_canonize,
+                tie_tol=self.tie_tol)
         lg_src, lg_dst = line_graph_edges(src, dst, atoms.num_atoms)
         return GraphData(
             z=gc.z, frac_coords=gc.frac_coords, lattice=gc.lattice,

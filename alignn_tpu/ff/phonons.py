@@ -152,7 +152,8 @@ def phonon_band_structure(calc, atoms: Atoms, supercell=(2, 2, 2),
     # B = 2 pi inv(lat).T): fractional norms would distort the band-plot
     # x-axis for any non-cubic cell
     recip = 2.0 * np.pi * np.linalg.inv(
-        np.asarray(fcdata["lattice"], dtype=np.float64)).T
+        np.asarray(fcdata["prim_atoms"].lattice_mat,
+                   dtype=np.float64)).T
     for seg in range(len(path) - 1):
         q0 = np.asarray(path[seg][1], dtype=np.float64)
         q1 = np.asarray(path[seg + 1][1], dtype=np.float64)

@@ -173,7 +173,8 @@ def canonize_edge(src_id, dst_id, src_image, dst_image):
 def nearest_neighbor_edges(atoms: Atoms, cutoff: float = 8.0,
                            max_neighbors: int = 12,
                            use_canonize: bool = True,
-                           max_attempts: int = 10) -> dict:
+                           max_attempts: int = 10,
+                           tie_tol: float = 0.0) -> dict:
     """Periodic 12-NN edge set with k-th-shell tie inclusion.
 
     Returns {(src_id, dst_id): set(dst_image)}.  Reproduces the reference
@@ -181,6 +182,16 @@ def nearest_neighbor_edges(atoms: Atoms, cutoff: float = 8.0,
     fewer than `max_neighbors` neighbors, per-site distance sort, inclusion
     of every neighbor at distance <= d_k (so ties can exceed k), and
     canonical dedup.
+
+    `tie_tol` (relative) widens the tie comparison to
+    ``d <= d_k * (1 + tie_tol)``.  The reference's exact float compare
+    (graphs.py:207) makes the edge set of high-symmetry crystals flicker
+    under uniform scaling — in diamond the k-th neighbor sits ON a
+    coordination shell whose member distances differ by ulps, so an EOS
+    volume scan sees discontinuous edge sets (E jumped 232->256 between
+    +0.5% and +1% strain) and the energy curve picks up ~0.01 eV/atom
+    steps.  Default 0.0 keeps exact reference parity; derivative-based
+    consumers (ff.Calculator) pass ~1e-6 for a scale-invariant set.
     """
     for _attempt in range(max_attempts):
         neighbors = all_neighbors(atoms, cutoff)
@@ -198,7 +209,7 @@ def nearest_neighbor_edges(atoms: Atoms, cutoff: float = 8.0,
         order = np.argsort(distances, kind="stable")
         ids, distances, images = ids[order], distances[order], images[order]
         max_dist = distances[max_neighbors - 1]
-        keep = distances <= max_dist
+        keep = distances <= max_dist * (1.0 + tie_tol)
         for dst, image in zip(ids[keep], images[keep]):
             src_id, dst_id, _src_im, dst_im = canonize_edge(
                 site_idx, int(dst), (0, 0, 0), tuple(int(x) for x in image))
@@ -356,7 +367,8 @@ def bond_cosines(r: np.ndarray, lg_src: np.ndarray,
 def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
                 cutoff: float = 8.0, max_neighbors: int = 12,
                 use_canonize: bool = True, compute_line_graph: bool = True,
-                cutoff_extra: float = 3.5) -> GraphData:
+                cutoff_extra: float = 3.5,
+                tie_tol: float = 0.0) -> GraphData:
     """Build a :class:`GraphData` for one structure.
 
     Equivalent of `Graph.atom_dgl_multigraph` (reference graphs.py:471-592)
@@ -375,7 +387,7 @@ def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
     if neighbor_strategy == "k-nearest":
         edges = nearest_neighbor_edges(
             atoms, cutoff=cutoff, max_neighbors=max_neighbors,
-            use_canonize=use_canonize)
+            use_canonize=use_canonize, tie_tol=tie_tol)
         u, v, r, images = build_undirected_edgedata(atoms, edges)
     elif neighbor_strategy == "radius_graph":
         u, v, r, images = radius_graph(
