@@ -126,6 +126,7 @@ def train_for_folder(
         cache_dir=(os.path.join(config.output_dir, "graph_cache")
                    if config.use_cache else None),
         per_species_energy_baseline=config.per_species_energy_baseline,
+        lg_cutoff=config.lg_cutoff,
     )
     if profile:
         # wrap one train step in a jax.profiler trace

@@ -177,6 +177,13 @@ class TrainingConfig:
     # bundled mlearn convention, reference prepare_mlearn.py
     # `j / atoms.num_atoms`).
     per_species_energy_baseline: bool = False
+    # Pruned line graph (TPU-framework extension; graph/build.py
+    # lg_cutoff docstring): build L(g) only over bond pairs whose two
+    # bonds are both <= lg_cutoff (Angstrom).  The full edge set still
+    # feeds the bond stages + force assembly.  Perf lever for
+    # radius-graph training where L ~ E * degree dominates; analogue of
+    # eALIGNN inner_cutoff (reference ealignn_atomwise.py:306-322).
+    lg_cutoff: Optional[float] = None
     # model configuration
     model: Union[ALIGNNConfig, ALIGNNAtomWiseConfig, Any] = field(
         default_factory=lambda: ALIGNNAtomWiseConfig(name="alignn_atomwise"))

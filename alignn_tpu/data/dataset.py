@@ -183,13 +183,15 @@ def records_to_graphs(
     cutoff_extra: float = 3.0,
     num_workers: int = 0,
     progress: bool = False,
+    lg_cutoff=None,
 ) -> List[GraphData]:
     """Build graphs for every record (the one-time host-side hot loop,
     reference lmdb_dataset.py:155-226)."""
     kwargs = dict(
         neighbor_strategy=neighbor_strategy, cutoff=cutoff,
         max_neighbors=max_neighbors, use_canonize=use_canonize,
-        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra)
+        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra,
+        lg_cutoff=lg_cutoff)
     jobs = [(rec, kwargs) for rec in records]
     if num_workers and num_workers > 1 and len(jobs) > 8:
         with ProcessPoolExecutor(max_workers=num_workers) as ex:
@@ -217,6 +219,7 @@ def records_to_graphs_iter(
     cutoff_extra: float = 3.0,
     num_workers: int = 0,
     progress: bool = False,
+    lg_cutoff=None,
 ):
     """Streaming variant of :func:`records_to_graphs` (O(1) memory).
 
@@ -230,7 +233,8 @@ def records_to_graphs_iter(
     kwargs = dict(
         neighbor_strategy=neighbor_strategy, cutoff=cutoff,
         max_neighbors=max_neighbors, use_canonize=use_canonize,
-        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra)
+        compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra,
+        lg_cutoff=lg_cutoff)
     if num_workers and num_workers > 1 and len(records) > 8:
         from collections import deque
 

@@ -319,6 +319,7 @@ def get_train_val_loaders(
     cache_dir: Optional[str] = None,
     dense: bool = False,
     per_species_energy_baseline: bool = False,
+    lg_cutoff: Optional[float] = None,
 ):
     """Records -> (train_loader, val_loader, test_loader, mad).
 
@@ -379,7 +380,8 @@ def get_train_val_loaders(
         neighbor_strategy=neighbor_strategy, cutoff=cutoff,
         max_neighbors=max_neighbors, use_canonize=use_canonize,
         compute_line_graph=compute_line_graph, cutoff_extra=cutoff_extra,
-        num_workers=num_workers, progress=progress)
+        num_workers=num_workers, progress=progress,
+        lg_cutoff=lg_cutoff)
 
     def make_ds(idxs, split: str) -> GraphDataset:
         import hashlib

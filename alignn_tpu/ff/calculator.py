@@ -145,6 +145,10 @@ class Calculator:
         # observables need a stable edge set.  0.0 restores exact
         # reference-parity graph construction.
         self.tie_tol = float(tie_tol)
+        # a model trained with a pruned line graph (config.lg_cutoff)
+        # must see the SAME pruned L(g) at inference
+        lgc = self.config.get("lg_cutoff")
+        self.lg_cutoff = float(lgc) if lgc is not None else None
         self.cutoff = float(self.config.get("cutoff", 8.0))
         self.max_neighbors = int(self.config.get("max_neighbors", 12))
         self.use_canonize = bool(self.config.get("use_canonize", True))
@@ -204,6 +208,17 @@ class Calculator:
             n_graphs=2,
         )
 
+    def _prune_lg(self, r_kept, lg_src, lg_dst):
+        """Skin-reuse twin of build_graph's lg_cutoff pruning: keep only
+        pairs whose two bonds are both <= lg_cutoff."""
+        if self.lg_cutoff is None:
+            return lg_src, lg_dst
+        import numpy as _np
+
+        short = _np.linalg.norm(r_kept, axis=1) <= self.lg_cutoff
+        keep = short[lg_src] & short[lg_dst]
+        return lg_src[keep], lg_dst[keep]
+
     # -- calculation --------------------------------------------------------
 
     def _graph_for(self, atoms: Atoms):
@@ -217,6 +232,21 @@ class Calculator:
         set a fresh search would produce.  k-nearest rebuilds every call
         (its edge set depends on distance ORDER, not a fixed radius).
         """
+        # wrap into [0, 1) FIRST, mirroring build_graph's internal
+        # wrapping: the cached candidate set's image vectors were
+        # computed against wrapped coordinates, so recomputing r from
+        # UNWRAPPED caller positions shifts every bond of a
+        # boundary-crossing atom by a lattice vector and silently drops
+        # it from the cutoff filter (found by the lg_cutoff skin-parity
+        # test; any MD/relax trajectory crossing the cell boundary hit
+        # it).  Wrapping makes cached and current positions commensurate
+        # — an atom that crosses the boundary shows a lattice-sized
+        # wrapped displacement and simply forces a conservative rebuild.
+        frac = np.asarray(atoms.frac_coords)
+        if frac.size and (frac.min() < 0.0 or frac.max() >= 1.0):
+            atoms = Atoms(lattice_mat=atoms.lattice_mat,
+                          frac_coords=frac % 1.0,
+                          elements=atoms.elements)
         use_skin = self.skin > 0 and \
             self.neighbor_strategy.startswith("radius")
         cart = atoms.cart_coords
@@ -242,6 +272,8 @@ class Calculator:
                 if covered.all() and keep.any():
                     lg_src, lg_dst = line_graph_edges(
                         src, dst, atoms.num_atoms)
+                    lg_src, lg_dst = self._prune_lg(
+                        r[keep], lg_src, lg_dst)
                     from alignn_tpu.graph.build import GraphData
 
                     return GraphData(
@@ -258,13 +290,13 @@ class Calculator:
                 atoms, neighbor_strategy=self.neighbor_strategy,
                 cutoff=self.cutoff, max_neighbors=self.max_neighbors,
                 use_canonize=self.use_canonize,
-                tie_tol=self.tie_tol)
+                tie_tol=self.tie_tol, lg_cutoff=self.lg_cutoff)
         gc = build_graph(
             atoms, neighbor_strategy=self.neighbor_strategy,
             cutoff=self.cutoff + self.skin,
             max_neighbors=self.max_neighbors,
             use_canonize=self.use_canonize, compute_line_graph=False,
-            tie_tol=self.tie_tol)
+            tie_tol=self.tie_tol, lg_cutoff=self.lg_cutoff)
         self._nl_graph = gc
         self._nl_cart0 = cart.copy()
         self._nl_lat0 = atoms.lattice_mat.copy()
@@ -283,8 +315,9 @@ class Calculator:
                 atoms, neighbor_strategy=self.neighbor_strategy,
                 cutoff=self.cutoff, max_neighbors=self.max_neighbors,
                 use_canonize=self.use_canonize,
-                tie_tol=self.tie_tol)
+                tie_tol=self.tie_tol, lg_cutoff=self.lg_cutoff)
         lg_src, lg_dst = line_graph_edges(src, dst, atoms.num_atoms)
+        lg_src, lg_dst = self._prune_lg(gc.r[keep], lg_src, lg_dst)
         return GraphData(
             z=gc.z, frac_coords=gc.frac_coords, lattice=gc.lattice,
             volume=gc.volume, src=src, dst=dst, r=gc.r[keep],

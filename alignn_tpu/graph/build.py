@@ -368,7 +368,8 @@ def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
                 cutoff: float = 8.0, max_neighbors: int = 12,
                 use_canonize: bool = True, compute_line_graph: bool = True,
                 cutoff_extra: float = 3.5,
-                tie_tol: float = 0.0) -> GraphData:
+                tie_tol: float = 0.0,
+                lg_cutoff: Optional[float] = None) -> GraphData:
     """Build a :class:`GraphData` for one structure.
 
     Equivalent of `Graph.atom_dgl_multigraph` (reference graphs.py:471-592)
@@ -407,6 +408,25 @@ def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
     lg_src = lg_dst = None
     if compute_line_graph:
         lg_src, lg_dst = line_graph_edges(u, v, n)
+        if lg_cutoff is not None:
+            # Pruned line graph (perf lever for the radius/large-cell
+            # regime where L ~ E * degree dominates ~97% of the step,
+            # VERDICT r4 #3a): keep only bond PAIRS whose two bonds are
+            # both <= lg_cutoff; the full edge set still feeds the
+            # bond-stage convolutions and the force assembly, so energy
+            # resolution over the outer cutoff is retained while the
+            # O(E*D) angle space shrinks to the chemically meaningful
+            # short-bond pairs.  Analogue of eALIGNN's inner_cutoff
+            # pruning (`/root/reference/alignn/models/
+            # ealignn_atomwise.py:306-322`), except the reference drops
+            # the long EDGES entirely; pruning only L(g) is strictly
+            # gentler.  Filtering a (lg_dst-ascending) sorted list
+            # keeps it sorted; ids stay global edge ids — the dst-sort
+            # invariant and padded batching are untouched.
+            blen = np.linalg.norm(r, axis=1)
+            short = blen <= float(lg_cutoff)
+            keep = short[lg_src] & short[lg_dst]
+            lg_src, lg_dst = lg_src[keep], lg_dst[keep]
     return GraphData(
         z=atoms.atomic_numbers,
         frac_coords=atoms.frac_coords.astype(np.float64),
