@@ -36,7 +36,7 @@ def env_on(name: str) -> bool:
 BASELINE_EDGES_PER_S = 3.96e3
 
 
-def build_largecell_batch(batch_size=2, seed=0):
+def build_largecell_batch(batch_size=2, seed=0, lg_cutoff=None):
     """mlearn-shaped leg (VERDICT r3 #6): 108-atom cells, radius graph
     cutoff 5, sparse layout — the reference's canonical FF-training
     recipe (examples/sample_data_ff/mlearn_data/Si/config.json shape,
@@ -60,7 +60,7 @@ def build_largecell_batch(batch_size=2, seed=0):
         atoms = Atoms(lattice_mat=base.lattice_mat, frac_coords=frac,
                       elements=base.elements)
         g = build_graph(atoms, neighbor_strategy="radius_graph",
-                        cutoff=5.0)
+                        cutoff=5.0, lg_cutoff=lg_cutoff)
         n = len(atoms.elements)
         g.target = np.array([rng.standard_normal()])
         g.forces = rng.standard_normal((n, 3)) * 0.1
@@ -176,8 +176,13 @@ def main():
         # build_largecell_batch); batch via ALIGNN_TPU_BENCH_B
         # (default 2 mirrors the mlearn per-step cell count at bs=5's
         # per-bucket scale — override for capacity sweeps)
+        # ALIGNN_TPU_BENCH_LG_CUTOFF=<A> prunes L(g) to short-bond
+        # pairs (graph/build.py lg_cutoff) — the round-5 large-cell
+        # lever (L drops to ~15% at 3.5 A on this shape)
+        lgc = os.environ.get("ALIGNN_TPU_BENCH_LG_CUTOFF")
         batch = build_largecell_batch(
-            batch_size=int(os.environ.get("ALIGNN_TPU_BENCH_B", "2")))
+            batch_size=int(os.environ.get("ALIGNN_TPU_BENCH_B", "2")),
+            lg_cutoff=float(lgc) if lgc else None)
     else:
         batch = build_batch(batch_size=bench_b, dense=dense)
     tx = build_optimizer("adamw", 1e-3, 1e-5)
