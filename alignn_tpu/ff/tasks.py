@@ -59,6 +59,41 @@ def fit_murnaghan(volumes: np.ndarray, energies: np.ndarray
             "residual": float(np.sqrt(np.mean(sol.fun ** 2)))}
 
 
+def fit_birch_murnaghan(volumes: np.ndarray, energies: np.ndarray
+                        ) -> Dict[str, float]:
+    """3rd-order Birch-Murnaghan EOS fit; returns E0, V0, B (GPa), Bp.
+
+    Complements :func:`fit_murnaghan`: the BM form is polynomial in the
+    Eulerian strain f = ((V0/V)^(2/3) - 1)/2, which conditions better
+    on shallow/noisy ML-potential curves where the Murnaghan Bp tends
+    to pin at its bound."""
+    from scipy.optimize import least_squares
+
+    v = np.asarray(volumes, dtype=np.float64)
+    e = np.asarray(energies, dtype=np.float64)
+    p = np.polyfit(v, e, 2)
+    v0 = float(np.clip(-p[1] / (2 * p[0]) if p[0] != 0 else np.median(v),
+                       0.5 * v.min(), 2.0 * v.max()))
+    e0 = float(np.polyval(p, v0))
+    b0 = float(np.clip(2 * abs(p[0]) * v0, 1e-4, 1e4))
+
+    def bm(x):
+        e0_, b0_, bp_, v0_ = x
+        eta = (v0_ / v) ** (2.0 / 3.0)
+        f = 0.5 * (eta - 1.0)
+        return (e0_ + 4.5 * b0_ * v0_ * f ** 2
+                * (1.0 + (bp_ - 4.0) * f)) - e
+
+    lo = [e.min() - 10 * np.ptp(e) - 1, 1e-6, 0.5, 0.5 * v.min()]
+    hi = [e.max() + 10 * np.ptp(e) + 1, 1e5, 12.0, 2.0 * v.max()]
+    sol = least_squares(bm, [np.clip(e0, lo[0], hi[0]), b0, 4.0, v0],
+                        bounds=(lo, hi))
+    e0_, b0_, bp_, v0_ = sol.x
+    return {"E0": float(e0_), "V0": float(v0_),
+            "B_GPa": float(b0_ * EV_A3_TO_GPA), "Bp": float(bp_),
+            "residual": float(np.sqrt(np.mean(sol.fun ** 2)))}
+
+
 def ev_curve(calc, atoms: Atoms,
              dx: Optional[Sequence[float]] = None,
              relax_first: bool = True,
@@ -82,8 +117,9 @@ def ev_curve(calc, atoms: Atoms,
         volumes.append(scaled.volume)
         energies.append(e)
     eos = fit_murnaghan(np.array(volumes), np.array(energies))
+    eos_bm = fit_birch_murnaghan(np.array(volumes), np.array(energies))
     return {"volumes": volumes, "energies": energies, "eos": eos,
-            "kv": eos["B_GPa"]}
+            "eos_birch_murnaghan": eos_bm, "kv": eos["B_GPa"]}
 
 
 # ---------------------------------------------------------------------------

@@ -92,13 +92,18 @@ def main():
     ev = ev_curve(calc, rel, relax_first=False,
                   dx=np.arange(-0.03, 0.0301, 0.005))
     eos = ev["eos"]
-    a0_eos = float(np.cbrt(eos["V0"] / 8 * 8))  # V0 is cell volume
     results["eos"] = {**eos, "a0_from_V0_A": float(np.cbrt(eos["V0"])),
+                      "birch_murnaghan": ev["eos_birch_murnaghan"],
+                      "volumes": ev["volumes"],
+                      "energies": ev["energies"],
                       "published": {"B_PBE_GPa": 88.6,
                                     "B_expt_GPa": 98.8}}
-    print(f"[eos] B = {eos['B_GPa']:.1f} GPa (PBE 88.6, expt 98.8), "
-          f"Bp = {eos['Bp']:.2f}, V0 = {eos['V0']:.2f} A^3, "
-          f"fit residual {eos['residual']:.2e} eV")
+    bm = ev["eos_birch_murnaghan"]
+    print(f"[eos] Murnaghan B = {eos['B_GPa']:.1f} GPa "
+          f"(Bp {eos['Bp']:.2f}, res {eos['residual']:.2e}) | "
+          f"Birch-Murnaghan B = {bm['B_GPa']:.1f} GPa "
+          f"(Bp {bm['Bp']:.2f}, res {bm['residual']:.2e}) | "
+          f"PBE 88.6, expt 98.8")
 
     # 3. vacancy formation energy (2x2x2 of the relaxed conventional
     # cell: 64 -> 63 atoms)
