@@ -51,7 +51,7 @@ def prepare_all(output_dir: str, data_root: str = MLEARN_ROOT) -> str:
 
 
 def train_one(element: str, output_dir: str, data_root: str = MLEARN_ROOT,
-              overrides=None):
+              overrides=None, resume=None):
     from alignn_tpu.cli.train import main as train_main
 
     if element == "all":
@@ -72,8 +72,13 @@ def train_one(element: str, output_dir: str, data_root: str = MLEARN_ROOT,
         with open(cfg_path, "w") as f:
             json.dump(cfg, f)
     out = os.path.join(output_dir, element)
-    train_main(["--root_dir", src, "--config_name", cfg_path,
-                "--output_dir", out, "--target_key", "total_energy"])
+    args = ["--root_dir", src, "--config_name", cfg_path,
+            "--output_dir", out, "--target_key", "total_energy"]
+    if resume:
+        # epoch-granular restart (tunnel-wedge recovery: a killed leg
+        # relaunched with --resume auto continues losslessly)
+        args += ["--resume", resume]
+    train_main(args)
     # harvest test metrics from the artifacts
     metrics = {"element": element, "output_dir": out}
     res_path = os.path.join(out, "Test_results.json")
@@ -112,6 +117,9 @@ def main(argv=None):
     p.add_argument("--override", nargs="*", default=[],
                    help="key=value config overrides (ints/floats "
                         "auto-cast), e.g. epochs=5 hidden_features=64")
+    p.add_argument("--resume", default=None,
+                   help='"auto" resumes each element from its '
+                        "<output_dir>/<el>/restart.mpk when present")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -126,7 +134,7 @@ def main(argv=None):
     results = []
     for el in args.elements.split(","):
         m = train_one(el, args.output_dir, args.data_root,
-                      overrides or None)
+                      overrides or None, resume=args.resume)
         results.append(m)
         print(json.dumps(m))
     summary = os.path.join(args.output_dir, "mlearn_summary.json")

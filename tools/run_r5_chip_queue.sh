@@ -1,22 +1,57 @@
 #!/bin/bash
-# Round-5 chip queue (run AFTER the mlearn `all` retrain frees the chip).
+# Round-5 chip queue, v2 (18:20 replan after the gw=1 `all` retrain kept
+# a broken energy head — BENCH_NOTES round 5 `all` post-mortem):
 #
-# 1. Large-cell bench A/B: baseline vs pruned-L (lg_cutoff 4.0 / 3.5)
-# 2. Si radius-graph training A/B at equal horizon: full L vs lg_cutoff
-#    3.5 — the accuracy arm of the VERDICT r4 #3a lever, and the
-#    science-grade (smooth, no k-NN topology cliffs) Si potential
-# 3. Si k-NN long horizon (150 epochs): force-MAE push toward MTP 0.09
-#
-# Every leg is its own python under timeout (tunnel-wedge discipline).
+# 1. `all` with per-species baseline AND graphwise_weight=20 — the
+#    residual energy term (L1 ~0.2) was steamrolled by the force term
+#    (L1 ~24) in the shared trunk; reweighting is the standard fix.
+# 2. Large-cell bench A/B: baseline vs pruned-L (lg_cutoff 4.0/3.5).
+# 3. Si radius-graph A/B at equal horizon: full L vs lg_cutoff 3.5
+#    (accuracy arm of the VERDICT r4 #3a lever + science-grade Si).
+# 4. Optimized-HLO dtype audit.
+# Optional (time permitting, separate script): Si k-NN 150 epochs.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=runs/r5
 mkdir -p "$OUT"
 
+stall_run() {  # stall_run <logfile> <timeout_s> <cmd...>
+  log=$1; tmo=$2; shift 2
+  for attempt in 1 2 3; do
+    timeout "$tmo" "$@" >> "$log" 2>&1 &
+    child=$!
+    while kill -0 "$child" 2>/dev/null; do
+      sleep 60
+      age=$(( $(date +%s) - $(stat -c %Y "$log") ))
+      if [ "$age" -gt 480 ]; then
+        echo "stall_run: log silent ${age}s, killing $child" >> "$log"
+        pkill -9 -P "$child" 2>/dev/null; kill -9 "$child" 2>/dev/null
+        break
+      fi
+    done
+    wait "$child" 2>/dev/null; rc=$?
+    echo "stall_run: attempt $attempt rc=$rc" >> "$log"
+    [ $rc -eq 0 ] && return 0
+    sleep 30
+  done
+  return 1
+}
+
+if [ ! -f runs/mlearn_r5_gw20/all/Test_results.json ]; then
+  echo "=== all gw20 start $(date +%T) ==="
+  stall_run runs/mlearn_r5_gw20.log 12000 \
+    python -u -m alignn_tpu.scripts.train_mlearn \
+    --elements all --output_dir runs/mlearn_r5_gw20 --resume auto \
+    --override force_mult_natoms=false scheduler=onecycle_full \
+    per_species_energy_baseline=true graphwise_weight=20.0
+  echo "=== all gw20 done $(date +%T) ==="
+  tail -3 runs/mlearn_r5_gw20.log
+fi
+
 echo "=== bench largecell A/B start $(date +%T) ==="
 for leg in "base:" "lg40:4.0" "lg35:3.5"; do
   name="${leg%%:*}"; val="${leg#*:}"
-  if [ -f "$OUT/bench_largecell_$name.json" ]; then
+  if [ -s "$OUT/bench_largecell_$name.json" ]; then
     echo "--- $name cached, skip"; continue
   fi
   echo "--- largecell $name (lg=$val) $(date +%T)"
@@ -33,15 +68,13 @@ train_leg() {
     echo "=== $el_out already done, skipping ==="; return
   fi
   echo "=== $el_out start $(date +%T) ==="
-  timeout 14400 python -u -m alignn_tpu.scripts.train_mlearn \
-    --elements Si --output_dir "$OUT/tmp_$el_out" \
-    --override force_mult_natoms=false scheduler=onecycle_full "$@" \
-    > "$OUT/log_$el_out.txt" 2>&1
+  stall_run "$OUT/log_$el_out.txt" 14400 \
+    python -u -m alignn_tpu.scripts.train_mlearn \
+    --elements Si --output_dir "$OUT/tmp_$el_out" --resume auto \
+    --override force_mult_natoms=false scheduler=onecycle_full "$@"
   rc=$?
-  # train_mlearn writes to <output_dir>/Si; move to the leg name
   if [ -d "$OUT/tmp_$el_out/Si" ]; then
     rm -rf "$OUT/$el_out"; mv "$OUT/tmp_$el_out/Si" "$OUT/$el_out"
-    cp "$OUT/tmp_$el_out"/config_Si.json "$OUT/$el_out/config_override.json" 2>/dev/null
   fi
   echo "=== $el_out done rc=$rc $(date +%T) ==="
   tail -3 "$OUT/log_$el_out.txt"
@@ -51,7 +84,6 @@ train_leg Si_radius_full  neighbor_strategy=radius_graph cutoff=4.5 \
   batch_size=2 epochs=60
 train_leg Si_radius_lg35  neighbor_strategy=radius_graph cutoff=4.5 \
   batch_size=2 epochs=60 lg_cutoff=3.5
-train_leg Si_knn_150      epochs=150
 
 echo "=== dtype audit (optimized HLO, dense) $(date +%T) ==="
 timeout 3600 python -u tools/dtype_audit.py --optimized --b 16 \
