@@ -424,3 +424,34 @@ def test_resume_restores_best_and_patience(tmp_path):
     # but the summary still reports the restored best
     assert s2["epochs_run"] == 0
     assert s2["best_val_loss"] == pytest.approx(best_overall)
+
+
+def test_resume_ignores_placeholder_val_rows(tmp_path):
+    """ADVICE r4 #1: runs without a val split append all-zero
+    history_val rows; on resume best_loss must NOT restore to 0.0
+    (which would freeze best_model.mpk forever) and early stopping
+    must not see phantom patience."""
+    records = _property_records(10)
+    kw = dict(batch_size=2, n_train=8, n_val=0, n_test=2,
+              keep_data_order=True)
+    out = str(tmp_path / "run")
+    base = dict(
+        epochs=3, learning_rate=1e-3, scheduler="onecycle_full",
+        n_early_stopping=2, **kw,
+        model=ALIGNNConfig(name="alignn", alignn_layers=1, gcn_layers=1,
+                           hidden_features=32, embedding_features=16))
+    tr, va, te, _ = get_train_val_loaders(records, output_dir=out, **kw)
+    assert len(va) == 0
+    cfg = TrainingConfig(output_dir=out, **base)
+    train_model(cfg, tr, va, te)
+    hist = json.load(open(os.path.join(out, "history_val.json")))
+    assert all(all(v == 0.0 for v in row) for row in hist)
+
+    # resume with MORE epochs and still no val: placeholder rows must
+    # not arm early stopping (it would fire immediately with
+    # no_improve=len-1 >= 2) nor set best_loss=0
+    cfg2 = TrainingConfig(output_dir=out, **{**base, "epochs": 5})
+    s2 = train_model(cfg2, tr, va, te,
+                     restart_state_path=os.path.join(out, "restart.mpk"))
+    assert s2["epochs_run"] == 2          # did NOT early-stop
+    assert s2["best_val_loss"] == np.inf  # no val signal -> no best
