@@ -33,23 +33,20 @@ stall_run() {  # stall_run <logfile> <timeout_s> <cmd...>
   return 1
 }
 
-if [ ! -f runs/mlearn_r5_ft/all/Test_results.json ]; then
-  echo "=== all energy fine-tune start $(date +%T) ==="
-  # first attempt seeds from the gw1 weights; stall retries resume
-  # the FINE-TUNE's own restart.mpk
-  if [ -f runs/mlearn_r5_ft/all/restart.mpk ]; then
-    EXTRA="--resume auto"
-  else
-    EXTRA="--restart_model_path runs/mlearn_r5/all/best_model.mpk"
-  fi
-  stall_run runs/mlearn_r5_ft/log_all_ft.txt 9000 \
-    python -u -m alignn_tpu.cli.train \
-    --root_dir runs/mlearn_r5/all_data \
-    --config_name runs/mlearn_r5/config_all_ft.json \
-    --output_dir runs/mlearn_r5_ft/all \
-    --target_key total_energy $EXTRA
-  echo "=== fine-tune done $(date +%T) ==="
-  tail -3 runs/mlearn_r5_ft/log_all_ft.txt
+# ROOT CAUSE (19:40): the reference's own `all` config ships
+# gradwise_weight=50 (per-element configs are 1:1) — every prior `all`
+# leg force-weighted 50x on top of the ~100x natural magnitude edge.
+# DOCUMENTED DEVIATION: train `all` at the per-element 1:1 weights +
+# per-species baseline.
+if [ ! -f runs/mlearn_r5_gw11/all/Test_results.json ]; then
+  echo "=== all 1:1 + baseline start $(date +%T) ==="
+  stall_run runs/mlearn_r5_gw11.log 12000 \
+    python -u -m alignn_tpu.scripts.train_mlearn \
+    --elements all --output_dir runs/mlearn_r5_gw11 --resume auto \
+    --override force_mult_natoms=false scheduler=onecycle_full \
+    per_species_energy_baseline=true gradwise_weight=1.0
+  echo "=== all 1:1 done $(date +%T) ==="
+  tail -3 runs/mlearn_r5_gw11.log
 fi
 
 echo "=== bench largecell A/B start $(date +%T) ==="
