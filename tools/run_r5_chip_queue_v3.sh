@@ -33,21 +33,9 @@ stall_run() {  # stall_run <logfile> <timeout_s> <cmd...>
   return 1
 }
 
-# ROOT CAUSE (19:40): the reference's own `all` config ships
-# gradwise_weight=50 (per-element configs are 1:1) — every prior `all`
-# leg force-weighted 50x on top of the ~100x natural magnitude edge.
-# DOCUMENTED DEVIATION: train `all` at the per-element 1:1 weights +
-# per-species baseline.
-if [ ! -f runs/mlearn_r5_gw11/all/Test_results.json ]; then
-  echo "=== all 1:1 + baseline start $(date +%T) ==="
-  stall_run runs/mlearn_r5_gw11.log 12000 \
-    python -u -m alignn_tpu.scripts.train_mlearn \
-    --elements all --output_dir runs/mlearn_r5_gw11 --resume auto \
-    --override force_mult_natoms=false scheduler=onecycle_full \
-    per_species_energy_baseline=true gradwise_weight=1.0
-  echo "=== all 1:1 done $(date +%T) ==="
-  tail -3 runs/mlearn_r5_gw11.log
-fi
+# `all` energy legs concluded 20:35 — four-point weight frontier measured
+# (gw50 / gw20-scratch / gw20-ft / 1:1+baseline), mechanism documented in
+# BENCH_NOTES; no further all legs this round.
 
 echo "=== bench largecell A/B start $(date +%T) ==="
 for leg in "base:" "lg40:4.0" "lg35:3.5"; do
