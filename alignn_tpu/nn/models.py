@@ -113,6 +113,21 @@ class ALIGNNAtomWiseConfig:
     additional_output_weight: float = 0.0
     # TPU extension: per-layer rematerialization (memory vs recompute)
     remat_layers: bool = False
+    # TPU-framework extension (no reference equivalent — every
+    # reference variant is DISCONTINUOUS at a neighbor-list boundary:
+    # use_cutoff_function only rescales FEATURES, so an edge popping at
+    # the radius-graph cutoff still enters the gates with finite
+    # weight, and eALIGNN's inner_cutoff filter is a hard step,
+    # `ealignn_atomwise.py:306-322`).  With envelope_edge_weights, every
+    # edge's AGGREGATION weight is the smooth C^2 envelope evaluated at
+    # `envelope_cutoff` (set = the graph-build cutoff) and every angle
+    # pair is weighted by the product of its two bond envelopes — edge
+    # influence vanishes smoothly at the boundary, the potential is
+    # strictly continuous, and the weights are differentiable in r so
+    # forces stay conservative.  Single-chip sparse/XLA path (soft
+    # weights don't ride the Pallas/fused binary-mask kernels).
+    envelope_edge_weights: bool = False
+    envelope_cutoff: float = 0.0
 
     def __post_init__(self):
         # reference alignn_atomwise.py:267-268
@@ -190,7 +205,8 @@ class _Trunk(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, batch: GraphBatch, x, y, z, train: bool = True):
+    def __call__(self, batch: GraphBatch, x, y, z, train: bool = True,
+                 edge_weight=None, lg_weight=None):
         cfg = self.cfg
         # static gather windows from the batch (ops/pallas_gather);
         # module attributes, so remat argnum bookkeeping is untouched
@@ -224,7 +240,8 @@ class _Trunk(nn.Module):
                 batch.node_mask, batch.edge_mask, batch.lg_mask, train,
                 src_perm=batch.src_perm, src_perm_inv=batch.src_perm_inv,
                 lg_src_perm=batch.lg_src_perm,
-                lg_src_perm_inv=batch.lg_src_perm_inv, rev=batch.rev)
+                lg_src_perm_inv=batch.lg_src_perm_inv, rev=batch.rev,
+                edge_weight=edge_weight, lg_weight=lg_weight)
         for i in range(cfg.gcn_layers):
             x, y = eggc_cls(cfg.hidden_features, windows=wins,
                             dense_D=batch.dense_D,
@@ -232,7 +249,8 @@ class _Trunk(nn.Module):
                 x, y, batch.src, batch.dst, batch.node_mask,
                 batch.edge_mask, train,
                 src_perm=batch.src_perm,
-                src_perm_inv=batch.src_perm_inv)
+                src_perm_inv=batch.src_perm_inv,
+                edge_weight=edge_weight)
         return x, y
 
 
@@ -320,8 +338,28 @@ class ALIGNNAtomWise(nn.Module):
 
         x, y, z = _Embeddings(cfg, name="embeddings", **kw)(
             batch, rbf_input, cosines, train=train, edge_scale=edge_scale)
+        edge_w = lg_w = None
+        if cfg.envelope_edge_weights:
+            # strictly continuous potential (see config docstring):
+            # aggregation weights = smooth envelope at the GRAPH cutoff,
+            # differentiable in r (forces pick up d(envelope)/dr)
+            if cfg.envelope_cutoff <= 0:
+                raise ValueError(
+                    "envelope_edge_weights requires envelope_cutoff > 0 "
+                    "(set it to the graph-build cutoff)")
+            if batch.dense_D:
+                raise ValueError(
+                    "envelope_edge_weights runs the sparse layout (the "
+                    "dense pair kernels take binary masks, not soft "
+                    "weights); build with dense_neighborhoods=false")
+            edge_w = cutoff_function_based_edges(
+                bondlength, inner_cutoff=cfg.envelope_cutoff,
+                exponent=cfg.exponent) * batch.edge_mask
+            lg_w = edge_w[batch.lg_src] * edge_w[batch.lg_dst] * \
+                batch.lg_mask
         x, y = _Trunk(cfg, name="trunk", **kw)(
-            batch, x, y, z, train=train)
+            batch, x, y, z, train=train, edge_weight=edge_w,
+            lg_weight=lg_w)
         return atomwise_heads(cfg, kw, batch, x, bondlength,
                               batch.edge_mask, None, train)
 

@@ -1,0 +1,44 @@
+#!/bin/bash
+# Envelope-weighted radius Si (strictly continuous potential): waits for
+# the knn150 leg to free the chip, then trains 60 epochs.
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=runs/r5
+for i in $(seq 1 90); do
+  [ -f "$OUT/Si_knn150/Test_results.json" ] && break
+  sleep 60
+done
+stall_run() {
+  log=$1; tmo=$2; shift 2
+  touch "$log"
+  for attempt in 1 2 3; do
+    timeout "$tmo" "$@" >> "$log" 2>&1 &
+    child=$!
+    while kill -0 "$child" 2>/dev/null; do
+      sleep 60
+      age=$(( $(date +%s) - $(stat -c %Y "$log") ))
+      if [ "$age" -gt 480 ]; then
+        echo "stall_run: silent ${age}s, killing $child" >> "$log"
+        pkill -9 -P "$child" 2>/dev/null; kill -9 "$child" 2>/dev/null
+        break
+      fi
+    done
+    wait "$child" 2>/dev/null; rc=$?
+    echo "stall_run: attempt $attempt rc=$rc" >> "$log"
+    [ $rc -eq 0 ] && return 0
+    sleep 30
+  done
+  return 1
+}
+stall_run "$OUT/log_Si_envelope.txt" 10800 \
+  python -u -m alignn_tpu.scripts.train_mlearn \
+  --elements Si --output_dir "$OUT/tmp_Si_envelope" --resume auto \
+  --override force_mult_natoms=false scheduler=onecycle_full \
+  neighbor_strategy=radius_graph cutoff=4.5 batch_size=2 epochs=60 \
+  envelope_edge_weights=true envelope_cutoff=4.5
+rc=$?
+if [ -d "$OUT/tmp_Si_envelope/Si" ]; then
+  rm -rf "$OUT/Si_envelope"; mv "$OUT/tmp_Si_envelope/Si" "$OUT/Si_envelope"
+fi
+echo "Si_envelope done rc=$rc $(date)"
+tail -3 "$OUT/log_Si_envelope.txt"
