@@ -62,9 +62,19 @@ def train_one(element: str, output_dir: str, data_root: str = MLEARN_ROOT,
     if overrides:
         with open(cfg_path) as f:
             cfg = json.load(f)
+        # route overrides by the model-config CLASS fields (not just
+        # the keys present in the json) so NEW model fields
+        # (e.g. envelope_edge_weights) land on the model dict instead
+        # of tripping TrainingConfig's strict top-level keys
+        import dataclasses as _dc
+
+        from alignn_tpu.config import model_config_from_dict
+
+        model_fields = {f.name for f in _dc.fields(
+            type(model_config_from_dict(cfg.get("model", {}))))}
         for k, v in overrides.items():
-            if k in cfg.get("model", {}):
-                cfg["model"][k] = v
+            if k in cfg.get("model", {}) or k in model_fields:
+                cfg.setdefault("model", {})[k] = v
             else:
                 cfg[k] = v
         os.makedirs(output_dir, exist_ok=True)
