@@ -271,6 +271,15 @@ class EdgeGatedGraphConv(nn.Module):
     # dense mode: trash slots live inside real blocks, so the mask (not
     # trash-row routing) isolates them.
     dense_D: int = 0
+    # normalized-aggregation epsilon for SOFT edge/pair weights: the
+    # default 1e-6 is reference parity, but with smooth envelope
+    # weights (nn/models.py envelope_edge_weights) a near-cutoff bond's
+    # pair-weight sum is << eps and force training's grad-of-grad
+    # squares the 1/eps backward amplification to ~1e12 — inf in f32
+    # (observed as epoch-2 NaN on device).  The envelope model sets
+    # 1e-3 (amplification <= 1e6; forward bias on populated segments
+    # ~1e-4 relative).
+    soft_agg_eps: float = 1e-6
     dense_lstage: bool = False
 
     @nn.compact
@@ -375,8 +384,11 @@ class EdgeGatedGraphConv(nn.Module):
                 # weight removes the edge from both numerator and
                 # denominator, matching dynamic edge removal
                 sigma = sigma * edge_weight[:, None]
-            h = edge_gated_aggregate(bh_e, sigma, dst, num_nodes,
-                                     edge_axis=self.edge_axis)
+            h = edge_gated_aggregate(
+                bh_e, sigma, dst, num_nodes,
+                eps=(self.soft_agg_eps if edge_weight is not None
+                     else 1e-6),
+                edge_axis=self.edge_axis)
         return self._update_tail(x, e, m, h, node_mask, edge_mask, train)
 
     def _fused_dense_lstage(self, e, rev, src_gate, dst_gate, bh, em,
@@ -447,7 +459,8 @@ class EdgeGatedGraphConv(nn.Module):
             bh4 = bh.astype(jnp.float32).reshape(n, 1, D, f)
             num = (sigma * bh4).sum(axis=2)
             den = sigma.sum(axis=2)
-            h_jt = (num / (den + 1e-6)).reshape(n * D, f).astype(m2.dtype)
+            h_jt = (num / (den + self.soft_agg_eps)).reshape(
+                n * D, f).astype(m2.dtype)
         h = permute_rows(h_jt, rev, rev)              # rows (j,t) -> edge b
         return m2, h
 
@@ -495,7 +508,7 @@ class EdgeGatedGraphConv(nn.Module):
             num = (sigma * bh_e.astype(jnp.float32)).reshape(
                 num_nodes, D, f).sum(axis=1)
             den = sigma.reshape(num_nodes, D, f).sum(axis=1)
-            h = (num / (den + 1e-6)).astype(m.dtype)
+            h = (num / (den + self.soft_agg_eps)).astype(m.dtype)
         return m, h
 
     def _node_tail(self, x, h, node_mask, train):
@@ -546,6 +559,7 @@ class ALIGNNConv(nn.Module):
     windows: tuple = (0, 0, 0)      # node-stage gather windows
     lg_windows: tuple = (0, 0, 0)   # L(g)-stage gather windows
     dense_D: int = 0                # dense-neighborhood block degree
+    soft_agg_eps: float = 1e-6      # see EdgeGatedGraphConv
 
     @nn.compact
     def __call__(self, x, y, z, src, dst, lg_src, lg_dst,
@@ -556,7 +570,8 @@ class ALIGNNConv(nn.Module):
         x, m = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
             dtype=self.dtype, windows=self.windows,
-            dense_D=self.dense_D, name="node_update")(
+            dense_D=self.dense_D, soft_agg_eps=self.soft_agg_eps,
+            name="node_update")(
             x, y, src, dst, node_mask=node_mask, edge_mask=edge_mask,
             train=train, edge_weight=edge_weight,
             src_perm=src_perm, src_perm_inv=src_perm_inv)
@@ -567,14 +582,14 @@ class ALIGNNConv(nn.Module):
             y, z = EdgeGatedGraphConv(
                 self.features, norm=self.norm, axis_name=self.axis_name,
                 dtype=self.dtype, dense_D=self.dense_D, dense_lstage=True,
-                name="edge_update")(
+                soft_agg_eps=self.soft_agg_eps, name="edge_update")(
                 m, z, None, None, node_mask=edge_mask, edge_mask=lg_mask,
                 train=train, edge_weight=lg_weight, rev=rev)
             return x, y, z
         y, z = EdgeGatedGraphConv(
             self.features, norm=self.norm, axis_name=self.axis_name,
             dtype=self.dtype, windows=self.lg_windows,
-            name="edge_update")(
+            soft_agg_eps=self.soft_agg_eps, name="edge_update")(
             m, z, lg_src, lg_dst, node_mask=edge_mask, edge_mask=lg_mask,
             train=train, edge_weight=lg_weight,
             src_perm=lg_src_perm, src_perm_inv=lg_src_perm_inv)

@@ -232,9 +232,12 @@ class _Trunk(nn.Module):
             else ALIGNNConv
         eggc_cls = nn.remat(EdgeGatedGraphConv, static_argnums=(7,)) \
             if remat else EdgeGatedGraphConv
+        soft_eps = 1e-3 if edge_weight is not None and \
+            getattr(cfg, "envelope_edge_weights", False) else 1e-6
         for i in range(cfg.alignn_layers):
             x, y, z = alignn_cls(cfg.hidden_features, windows=wins,
                                  lg_windows=lg_wins, dense_D=batch.dense_D,
+                                 soft_agg_eps=soft_eps,
                                  name=f"alignn_layers_{i}", **kw)(
                 x, y, z, batch.src, batch.dst, batch.lg_src, batch.lg_dst,
                 batch.node_mask, batch.edge_mask, batch.lg_mask, train,
@@ -245,6 +248,7 @@ class _Trunk(nn.Module):
         for i in range(cfg.gcn_layers):
             x, y = eggc_cls(cfg.hidden_features, windows=wins,
                             dense_D=batch.dense_D,
+                            soft_agg_eps=soft_eps,
                             name=f"gcn_layers_{i}", **kw)(
                 x, y, batch.src, batch.dst, batch.node_mask,
                 batch.edge_mask, train,

@@ -127,3 +127,40 @@ def test_dense_layout_rejected():
     db = dense_batch_graphs([g], dense_spec_for_batch([g]))
     with pytest.raises(ValueError, match="sparse layout"):
         model.init(jax.random.PRNGKey(0), db, db.r, train=False)
+
+
+def test_train_step_finite_with_near_cutoff_bond():
+    """Adversarial numerics: a bond a hair inside the cutoff gives pair
+    weights ~1e-9; the soft-weight aggregation epsilon (1e-3 in
+    envelope mode, layers.soft_agg_eps) must keep the force-training
+    grad-of-grad finite (1e-6 overflowed f32 — device NaN at epoch 2)."""
+    import jax
+
+    from alignn_tpu.train.optim import build_optimizer
+    from alignn_tpu.train.state import create_train_state, \
+        make_train_step
+
+    # linear chain with one neighbor RIGHT at the cutoff boundary
+    lat = np.eye(3) * 30.0
+    cart = np.array([[0.0, 0, 0], [2.3, 0, 0], [4.49995, 0, 0],
+                     [6.8, 0, 0]])
+    atoms = Atoms(lattice_mat=lat, frac_coords=cart @ np.linalg.inv(lat),
+                  elements=["Si"] * 4)
+    g = build_graph(atoms, neighbor_strategy="radius_graph", cutoff=CUT)
+    g.target = np.array([0.1])
+    g.forces = np.zeros((4, 3))
+    g.stress = np.eye(3) * 0.01
+    blen = np.linalg.norm(g.r, axis=1)
+    assert (np.abs(blen - CUT) < 1e-3).any(), "need a near-cutoff bond"
+    batch = batch_graphs([g], BucketSpec.tight_for_batch([g]))
+    cfg = _cfg(True)
+    model = ALIGNNAtomWise(cfg=cfg)
+    tx = build_optimizer("adamw", 1e-3, 0.0)
+    state = create_train_state(model, batch, tx)
+    step = make_train_step(model, criterion="l1", donate=False)
+    for _ in range(3):
+        state, losses = step(state, batch)
+    fetched = jax.device_get(losses)
+    assert np.isfinite(fetched["loss"]), fetched
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert all(np.isfinite(np.asarray(p)).all() for p in leaves)
