@@ -242,10 +242,12 @@ class Calculator:
         # it).  Wrapping makes cached and current positions commensurate
         # — an atom that crosses the boundary shows a lattice-sized
         # wrapped displacement and simply forces a conservative rebuild.
+        from alignn_tpu.graph.build import wrap_frac
+
         frac = np.asarray(atoms.frac_coords)
         if frac.size and (frac.min() < 0.0 or frac.max() >= 1.0):
             atoms = Atoms(lattice_mat=atoms.lattice_mat,
-                          frac_coords=frac % 1.0,
+                          frac_coords=wrap_frac(frac),
                           elements=atoms.elements)
         use_skin = self.skin > 0 and \
             self.neighbor_strategy.startswith("radius")

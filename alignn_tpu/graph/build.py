@@ -154,6 +154,21 @@ def all_neighbors(atoms: Atoms, cutoff: float):
 # ---------------------------------------------------------------------------
 
 
+def wrap_frac(frac: np.ndarray) -> np.ndarray:
+    """Wrap fractional coords into [0, 1) — STRICTLY.
+
+    ``frac % 1.0`` alone is not idempotent at the boundary: a tiny
+    negative coordinate (e.g. -2.7e-17 from a cart->frac inversion)
+    wraps to exactly 1.0 in f64, which is still outside [0, 1) — two
+    code paths that each apply one ``% 1.0`` then disagree by a full
+    lattice vector (the calculator's skin-reuse recompute vs
+    build_graph's internal wrap: cost a round of garbage FD force
+    constants).  The follow-up subtraction pins the boundary to 0.0.
+    """
+    f = np.asarray(frac, dtype=np.float64) % 1.0
+    return np.where(f >= 1.0, f - 1.0, f)
+
+
 def canonize_edge(src_id, dst_id, src_image, dst_image):
     """Canonical edge: sorted ids, src shifted into the (0,0,0) image.
 
@@ -384,7 +399,8 @@ def build_graph(atoms: Atoms, neighbor_strategy: str = "k-nearest",
     frac = np.asarray(atoms.frac_coords)
     if frac.size and (frac.min() < 0.0 or frac.max() >= 1.0):
         atoms = Atoms(lattice_mat=atoms.lattice_mat,
-                      frac_coords=frac % 1.0, elements=atoms.elements)
+                      frac_coords=wrap_frac(frac),
+                      elements=atoms.elements)
     if neighbor_strategy == "k-nearest":
         edges = nearest_neighbor_edges(
             atoms, cutoff=cutoff, max_neighbors=max_neighbors,

@@ -120,3 +120,65 @@ def test_calculator_skin_path_matches_rebuild():
     blen2 = np.linalg.norm(g2.r, axis=1)
     assert (blen2[g2.lg_src] <= 3.5 + 1e-12).all()
     assert (blen2[g2.lg_dst] <= 3.5 + 1e-12).all()
+
+
+def test_wrap_frac_boundary_idempotent():
+    """-eps % 1.0 == 1.0 in f64 — still outside [0,1).  Two code paths
+    each applying one `% 1.0` then disagree by a full lattice vector
+    (skin-reuse vs build_graph wrap; corrupted a round of FD force
+    constants).  wrap_frac must land strictly in [0,1) and be
+    idempotent."""
+    from alignn_tpu.graph.build import wrap_frac
+
+    f = np.array([[-2.7e-17, 0.5, 1.0 - 1e-18],
+                  [1.0, -1.0e-17, 2.3]])
+    w = wrap_frac(f)
+    assert (w >= 0.0).all() and (w < 1.0).all(), w
+    np.testing.assert_array_equal(wrap_frac(w), w)
+    # the raw modulo really does produce the out-of-range 1.0 (the bug)
+    assert ((-2.7e-17) % 1.0) == 1.0
+
+
+def test_skin_reuse_forces_match_fresh_at_cell_corner():
+    """FD-phonon pattern: an atom at frac 0 displaced NEGATIVE wraps to
+    the far corner; the cached candidate images must stay commensurate
+    with the recomputed positions (the wrap_frac fix)."""
+    import jax
+
+    from alignn_tpu.ff.calculator import Calculator
+    from alignn_tpu.nn.models import (
+        ALIGNNAtomWise,
+        ALIGNNAtomWiseConfig,
+    )
+    from alignn_tpu.graph.batch import BucketSpec, batch_graphs
+
+    cfg = ALIGNNAtomWiseConfig(
+        name="alignn_atomwise", alignn_layers=1, gcn_layers=1,
+        hidden_features=32, embedding_features=16,
+        gradwise_weight=1.0, stresswise_weight=0.1)
+    model = ALIGNNAtomWise(cfg=cfg)
+    atoms = _al_cell(sc=(2, 2, 2))
+    # put atom 0 exactly at the origin so cart->frac inversions create
+    # the -eps coordinates
+    fr = atoms.frac_coords.copy()
+    fr[0] = 0.0
+    base = Atoms(lattice_mat=atoms.lattice_mat, frac_coords=fr,
+                 elements=atoms.elements)
+    probe = build_graph(base, neighbor_strategy="radius_graph",
+                        cutoff=5.0)
+    b = batch_graphs([probe], BucketSpec.tight_for_batch([probe]))
+    variables = jax.jit(
+        lambda r, bb: model.init(r, bb, bb.r, train=False))(
+        jax.random.PRNGKey(0), b)
+    common = dict(model=model, variables=variables,
+                  config={"neighbor_strategy": "radius_graph",
+                          "cutoff": 5.0})
+    calc_fresh = Calculator(skin=0.0, **common)
+    calc_skin = Calculator(skin=0.5, **common)
+    _ = calc_skin.get_forces(base)  # seed the candidate list
+    cart = base.cart_coords.copy()
+    cart[0, 0] -= 0.02              # crosses the cell boundary
+    moved = base.with_positions(cart_coords=cart)
+    f_fresh = calc_fresh.get_forces(moved)
+    f_skin = calc_skin.get_forces(moved)
+    np.testing.assert_allclose(f_skin, f_fresh, atol=1e-5)
